@@ -1,0 +1,473 @@
+"""The Automaton class: pyahocorasick's full API surface, TPU-native inside.
+
+The mutable phase (add_word/remove_word/...) lives on a host trie;
+``make_automaton()`` lowers it to dense DFA tables (compiler.py) that the
+JAX/Pallas scan engines execute; iterators re-expose the reference's lazy
+protocol on top (iterators.py).
+
+Behavioral parity notes are cited per method against /root/reference sources.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import engines
+from .compiler import CompiledAutomaton, compile_trie
+from .constants import (
+    AHOCORASICK,
+    EMPTY,
+    KEY_SEQUENCE,
+    KEY_STRING,
+    MATCH_AT_LEAST_PREFIX,
+    MATCH_AT_MOST_PREFIX,
+    MATCH_EXACT_LENGTH,
+    STORE_ANY,
+    STORE_INTS,
+    STORE_LENGTH,
+    TRIE,
+)
+from .iterators import ItemsIter, SearchIter, SearchIterLong
+from .ops import cpu
+from .trie import Trie
+from .utils import letters_of_haystack, letters_of_key, parse_start_end
+
+# Mimic the reference's C struct sizes so __sizeof__/get_stats report the same
+# kind of numbers (x86-64 layout; reference tests/test_unpickle.py:42-59).
+_SIZEOF_TRIENODE = 32
+_SIZEOF_AUTOMATON = 200
+
+
+def _check_store(store):
+    if store not in (STORE_LENGTH, STORE_INTS, STORE_ANY):
+        raise ValueError(
+            "store value must be one of ahocorasick.STORE_LENGTH, STORE_INTS or STORE_ANY"
+        )
+
+
+def _check_kind(kind):
+    if kind not in (EMPTY, TRIE, AHOCORASICK):
+        raise ValueError("kind value must be one of ahocorasick.EMPTY, TRIE or AHOCORASICK")
+
+
+def _check_key_type(key_type):
+    if key_type not in (KEY_STRING, KEY_SEQUENCE):
+        raise ValueError("key_type must have value KEY_STRING or KEY_SEQUENCE")
+
+
+class Automaton:
+    """Trie/Aho-Corasick automaton with a dict-like interface.
+
+    Constructor mirrors the reference (src/Automaton.c:96-181): either
+    ``Automaton([store[, key_type]])`` or the internal 7-tuple unpickle form.
+    """
+
+    def __init__(self, *args):
+        self._trie = Trie()
+        self._kind = EMPTY
+        self._store = STORE_ANY
+        self._key_type = KEY_STRING
+        self._count = 0
+        self._longest_word = 0
+        self._version = 0
+        self._compiled: CompiledAutomaton | None = None
+        self._stats_cache = None
+        self._stats_version = -1
+
+        if len(args) == 7:
+            from . import serialization
+
+            blob, kind, store, key_type, count, longest_word, values = args
+            _check_store(store)
+            _check_kind(kind)
+            _check_key_type(key_type)
+            if not isinstance(blob, list):
+                raise TypeError("Expected list")
+            if kind != EMPTY:
+                if values is None:
+                    values = None
+                serialization.unpickle_into(self, blob, values)
+                self._kind = kind
+                self._store = store
+                self._key_type = key_type
+                self._count = count
+                self._longest_word = longest_word
+                if kind == AHOCORASICK:
+                    self._recompile()
+        else:
+            store, key_type = STORE_ANY, KEY_STRING
+            # reference parses positionally with "ii" then "i" and silently
+            # ignores non-int args (src/Automaton.c:149-173)
+            ints = []
+            for a in args[:2]:
+                try:
+                    ints.append(int(a.__index__()))
+                except (AttributeError, TypeError):
+                    ints = None
+                    break
+            if ints:
+                if len(ints) >= 1:
+                    store = ints[0]
+                    _check_store(store)
+                if len(ints) == 2:
+                    key_type = ints[1]
+                    _check_key_type(key_type)
+            self._store = store
+            self._key_type = key_type
+
+    # ------------------------------------------------------------------
+    # read-only attributes
+    # ------------------------------------------------------------------
+
+    @property
+    def kind(self):
+        return self._kind
+
+    @property
+    def store(self):
+        return self._store
+
+    @property
+    def key_type(self):
+        return self._key_type
+
+    # ------------------------------------------------------------------
+    # mutation
+    # ------------------------------------------------------------------
+
+    def add_word(self, key, *args):
+        """Add a key; returns True for new words (src/Automaton.c:201-300)."""
+        letters = letters_of_key(key, self._key_type)
+
+        if self._store == STORE_ANY:
+            if not args:
+                raise ValueError("A value object is required as second argument.")
+            value = args[0]
+        elif self._store == STORE_INTS:
+            if args:
+                try:
+                    value = args[0].__index__()
+                except AttributeError:
+                    raise TypeError(
+                        "An integer value is required as second argument."
+                    ) from None
+            else:
+                value = self._count + 1
+        else:  # STORE_LENGTH
+            value = int(letters.size)
+
+        if letters.size == 0:
+            return False
+
+        node, new_word = self._trie.add_word(letters)
+        node.value = value
+        self._kind = TRIE
+        self._compiled = None
+
+        if new_word:
+            self._version += 1
+            self._count += 1
+            if letters.size > self._longest_word:
+                self._longest_word = int(letters.size)
+            return True
+        return False
+
+    def remove_word(self, key):
+        """(src/Automaton.c:302-350, src/trie.c:66-136)"""
+        letters = letters_of_key(key, self._key_type)
+        if letters.size == 0:
+            return False
+        found, _ = self._trie.remove_word(letters)
+        if found:
+            self._kind = TRIE
+            self._compiled = None
+            self._version += 1
+            self._count -= 1
+        return found
+
+    def pop(self, key):
+        """(src/Automaton.c:353-371)"""
+        letters = letters_of_key(key, self._key_type)
+        found, value = (False, None) if letters.size == 0 else self._trie.remove_word(letters)
+        if not found:
+            raise KeyError()
+        self._kind = TRIE
+        self._compiled = None
+        self._version += 1
+        self._count -= 1
+        return value
+
+    def clear(self):
+        """(src/Automaton.c:375-417)"""
+        self._trie.clear()
+        self._count = 0
+        self._longest_word = 0
+        self._kind = EMPTY
+        self._compiled = None
+        self._version += 1
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+
+    def __len__(self):
+        return self._count
+
+    def exists(self, key):
+        node = self._trie.find(letters_of_key(key, self._key_type))
+        return bool(node is not None and node.eow)
+
+    __contains__ = exists
+
+    def match(self, key):
+        """True when key is a prefix of (or equal to) any word
+        (src/Automaton.c:460-479)."""
+        return self._trie.find(letters_of_key(key, self._key_type)) is not None
+
+    def longest_prefix(self, key):
+        return self._trie.longest_prefix(letters_of_key(key, self._key_type))
+
+    def get(self, key, *args):
+        if len(args) > 1:
+            raise TypeError("get() takes one or two arguments (%d given)" % (1 + len(args)))
+        node = self._trie.find(letters_of_key(key, self._key_type))
+        if node is not None and node.eow:
+            return node.value
+        if args:
+            return args[0]
+        raise KeyError()
+
+    # ------------------------------------------------------------------
+    # compilation
+    # ------------------------------------------------------------------
+
+    def make_automaton(self):
+        """Lower the trie to dense DFA tables (reference BFS:
+        src/Automaton.c:560-649; here vectorized per level, see compiler.py)."""
+        if self._kind != TRIE:
+            return False
+        self._recompile()
+        self._kind = AHOCORASICK
+        self._version += 1
+        return None
+
+    def _recompile(self):
+        self._compiled = compile_trie(self._trie, self._store, self._count)
+
+    def _ensure_compiled(self) -> CompiledAutomaton:
+        if self._compiled is None:
+            self._recompile()
+        return self._compiled
+
+    def _value_of_pid(self, pid: int):
+        return self._compiled.values[pid]
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+
+    def find_all(self, string, callback, *args):
+        """Eager search invoking callback(end_index, value)
+        (src/Automaton.c:652-719)."""
+        if self._kind != AHOCORASICK:
+            return None
+        if not callable(callback):
+            raise TypeError("The callback argument must be a callable such as a function.")
+        letters = letters_of_haystack(string, self._key_type)
+        start, end = parse_start_end(args, 0, 1, 0, letters.size)
+        compiled = self._ensure_compiled()
+        cls = compiled.classes_of(letters[start:end]).astype(np.int32)
+        states = engines.scan_states(compiled, cls)
+        positions, pids = cpu.emit_matches(compiled, states, base=start)
+        values = compiled.values
+        for pos, pid in zip(positions.tolist(), pids.tolist()):
+            callback(pos, values[pid])
+        return None
+
+    def iter(self, string, start=-1, end=-1, ignore_white_space=False):
+        """(src/Automaton.c:875-966)"""
+        if self._kind != AHOCORASICK:
+            raise AttributeError(
+                "Not an Aho-Corasick automaton yet: call add_word to add "
+                "some keys and call make_automaton to convert the trie to "
+                "an automaton."
+            )
+        letters_len = len(string) if not isinstance(string, (int, float)) else 0
+        s = 0 if start == -1 else int(start)
+        e = letters_len if end == -1 else int(end)
+        self._ensure_compiled()
+        return SearchIter(self, string, s, e, ignore_white_space)
+
+    def iter_long(self, string, *args):
+        """(src/Automaton.c:969-1041, src/AutomatonSearchIterLong.c)"""
+        if self._kind != AHOCORASICK:
+            raise AttributeError("not an automaton yet; add some words and call make_automaton")
+        letters = letters_of_haystack(string, self._key_type)
+        start, end = parse_start_end(args, 0, 1, 0, letters.size)
+        self._ensure_compiled()
+        return SearchIterLong(self, string, start, end)
+
+    # ------------------------------------------------------------------
+    # bulk / array APIs (TPU-native extensions; no reference counterpart)
+    # ------------------------------------------------------------------
+
+    def search_arrays(self, string):
+        """Bulk search: returns (end_indices, pattern_ids, values_list).
+
+        ``values_list`` is indexable by pattern id.  This is the zero-overhead
+        path for large corpora: the scan runs as the blocked device kernel and
+        only compacted match arrays come back to the host.
+        """
+        if self._kind != AHOCORASICK:
+            raise AttributeError("not an automaton yet; add some words and call make_automaton")
+        compiled = self._ensure_compiled()
+        letters = letters_of_haystack(string, self._key_type)
+        cls = compiled.classes_of(letters).astype(np.int32)
+        states = engines.scan_states(compiled, cls)
+        positions, pids = cpu.emit_matches(compiled, states)
+        return positions, pids, compiled.values
+
+    def count_matches(self, string):
+        """Per-pattern match counts as an int64 array (device-side reduction;
+        the counts-only mode of BASELINE config 'CRISPR guides over DNA')."""
+        if self._kind != AHOCORASICK:
+            raise AttributeError("not an automaton yet; add some words and call make_automaton")
+        compiled = self._ensure_compiled()
+        letters = letters_of_haystack(string, self._key_type)
+        cls = compiled.classes_of(letters).astype(np.int32)
+        return engines.count_matches(compiled, cls)
+
+    # ------------------------------------------------------------------
+    # keys / values / items
+    # ------------------------------------------------------------------
+
+    def _items_iter(self, kind, args):
+        pattern = []
+        use_wildcard = False
+        wildcard = 0
+        if len(args) >= 1 and args[0] is not None:
+            pattern = [int(x) for x in letters_of_key(args[0], self._key_type)]
+        if len(args) >= 2 and args[1] is not None:
+            wl = letters_of_key(args[1], self._key_type)
+            if wl.size != 1:
+                raise ValueError("Wildcard must be a single character.")
+            wildcard = int(wl[0])
+            use_wildcard = True
+        if len(args) >= 3 and args[2] is not None:
+            matchtype = int(args[2])
+            if matchtype not in (
+                MATCH_AT_LEAST_PREFIX,
+                MATCH_AT_MOST_PREFIX,
+                MATCH_EXACT_LENGTH,
+            ):
+                raise ValueError(
+                    "The optional how third argument must be one of: "
+                    "MATCH_EXACT_LENGTH, MATCH_AT_LEAST_PREFIX or MATCH_AT_LEAST_PREFIX"
+                )
+        else:
+            matchtype = MATCH_EXACT_LENGTH if use_wildcard else MATCH_AT_LEAST_PREFIX
+        return ItemsIter(self, kind, pattern, use_wildcard, wildcard, matchtype)
+
+    def keys(self, *args):
+        return self._items_iter(ItemsIter.KEYS, args)
+
+    def values(self, *args):
+        return self._items_iter(ItemsIter.VALUES, args)
+
+    def items(self, *args):
+        return self._items_iter(ItemsIter.ITEMS, args)
+
+    def __iter__(self):
+        return self.keys()
+
+    # ------------------------------------------------------------------
+    # introspection
+    # ------------------------------------------------------------------
+
+    def get_stats(self):
+        """(src/Automaton.c:1044-1096)"""
+        if self._stats_version != self._version or self._stats_cache is None:
+            nodes_count = words_count = links_count = 0
+            longest = 0
+            total_size = 0
+            if self._kind != EMPTY and self._trie.root is not None:
+                for node, depth in self._trie.traverse():
+                    nodes_count += 1
+                    words_count += int(node.eow)
+                    links_count += node.n
+                    total_size += _SIZEOF_TRIENODE + node.n * 8
+                    if depth > longest:
+                        longest = depth
+            self._stats_cache = {
+                "nodes_count": nodes_count,
+                "words_count": words_count,
+                "longest_word": longest,
+                "links_count": links_count,
+                "sizeof_node": _SIZEOF_TRIENODE,
+                "total_size": total_size,
+            }
+            self._stats_version = self._version
+        return dict(self._stats_cache)
+
+    def dump(self):
+        """Graph triple (nodes, edges, fail) with opaque int node ids
+        (src/Automaton.c:1100-1180)."""
+        if self._kind == EMPTY:
+            return None
+        nodes, edges, fail = [], [], []
+        compiled = self._compiled if self._kind == AHOCORASICK else None
+        # stable ids: BFS index when compiled, else python id()
+        if compiled is not None:
+            index_of = {}
+            order = []
+            stack = [(self._trie.root, 0)]
+            # rebuild BFS ids to match compiled arrays
+            from collections import deque
+
+            q = deque([self._trie.root])
+            index_of[id(self._trie.root)] = 0
+            order.append(self._trie.root)
+            while q:
+                n = q.popleft()
+                for child in n.children.values():
+                    index_of[id(child)] = len(order)
+                    order.append(child)
+                    q.append(child)
+            for node, _depth in self._trie.traverse():
+                nid = index_of[id(node)]
+                nodes.append((nid, int(node.eow)))
+                for letter, child in node.children.items():
+                    edges.append((nid, chr(letter), index_of[id(child)]))
+                fail.append((nid, int(compiled.fail[nid])))
+            return (nodes, edges, fail)
+        for node, _depth in self._trie.traverse():
+            nodes.append((id(node), int(node.eow)))
+            for letter, child in node.children.items():
+                edges.append((id(node), chr(letter), id(child)))
+        return (nodes, edges, fail)
+
+    def __sizeof__(self):
+        size = _SIZEOF_AUTOMATON
+        if self._kind != EMPTY:
+            size += self.get_stats()["total_size"]
+        return size
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def __reduce__(self):
+        from . import serialization
+
+        return serialization.reduce_automaton(self)
+
+    def save(self, path, serializer=None):
+        from . import serialization
+
+        if self._store == STORE_ANY:
+            if serializer is None:
+                raise ValueError("expected exactly two arguments")
+        else:
+            if serializer is not None:
+                raise ValueError("expected exactly one argument")
+        serialization.save_automaton(self, path, serializer)

@@ -1,0 +1,88 @@
+"""Engine dispatch: pick the best available scan engine for an input size.
+
+Engines (all bit-identical in output, covered by differential tests):
+
+* ``seq``   — Python/numpy sequential oracle (tiny inputs, ground truth)
+* ``numpy`` — lane-parallel halo-blocked scan in numpy
+* ``jax``   — the same decomposition as a jitted XLA program on the default
+              backend (TPU in production, CPU in tests)
+
+Selection is automatic by input size; ``PYAHOCORASICK_TPU_ENGINE`` forces one
+(values: auto, seq, numpy, jax) — the test suite uses this to run the whole
+conformance corpus on every engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .compiler import CompiledAutomaton
+from .ops import cpu
+
+_JAX_MIN = 1 << 16  # below this, device dispatch overhead dominates
+_NUMPY_MIN = 1 << 11
+
+_jax_failed = False
+
+
+def _forced() -> str:
+    return os.environ.get("PYAHOCORASICK_TPU_ENGINE", "auto")
+
+
+def scan_states(
+    compiled: CompiledAutomaton, cls: np.ndarray, halo: np.ndarray | None = None
+) -> np.ndarray:
+    """Return int32 DFA states after each position of ``cls``, given that the
+    characters in ``halo`` (may be empty) were consumed immediately before."""
+    global _jax_failed
+    engine = _forced()
+    N = int(cls.size)
+
+    if engine == "auto":
+        if N >= _JAX_MIN and not _jax_failed:
+            engine = "jax"
+        elif N >= _NUMPY_MIN:
+            engine = "numpy"
+        else:
+            engine = "seq"
+
+    if engine == "jax":
+        try:
+            from .ops import scan as jax_scan
+
+            return jax_scan.scan_states_jax(compiled, cls, halo)
+        except ImportError:  # jax unavailable: degrade permanently
+            _jax_failed = True
+            engine = "numpy"
+
+    if engine == "numpy":
+        return cpu.scan_states_blocked(compiled, cls, halo)
+
+    state = 0
+    if halo is not None and halo.size:
+        H = max(int(compiled.longest_word), 1)
+        hs = cpu.scan_states_seq(compiled, halo[-H:], 0)
+        state = int(hs[-1]) if hs.size else 0
+    return cpu.scan_states_seq(compiled, cls, state)
+
+
+def count_matches(
+    compiled: CompiledAutomaton, cls: np.ndarray, halo: np.ndarray | None = None
+) -> np.ndarray:
+    """Per-pattern int64 match counts for a haystack."""
+    global _jax_failed
+    engine = _forced()
+    N = int(cls.size)
+    if engine == "auto":
+        engine = "jax" if (N >= _JAX_MIN and not _jax_failed) else "numpy"
+    if engine == "jax":
+        try:
+            from .ops import scan as jax_scan
+
+            return jax_scan.count_matches_jax(compiled, cls, halo)
+        except ImportError:
+            _jax_failed = True
+    states = scan_states(compiled, cls, halo)
+    return cpu.count_matches(compiled, states)

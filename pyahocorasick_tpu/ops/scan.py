@@ -1,0 +1,181 @@
+"""JAX/XLA blocked DFA scan — the single-chip device hot path.
+
+The haystack (as alphabet-class ids) is cut into L blocks of B positions; each
+block is prefixed by a halo of H = longest_word preceding characters, which
+makes every block's scan exactly independent (see ops/cpu.py for the proof
+sketch).  One ``lax.scan`` over the H+B time steps then advances all L lanes
+per step with a single vectorized gather:
+
+    states = delta_flat[states * K + cls_t]        # [L] int32 gather
+
+so the device executes N/L sequential steps instead of N — the TPU-native
+replacement for the reference's char-at-a-time loop
+(src/AutomatonSearchIter.c:243-300, src/trie.c:177-194).
+
+Shapes are bucketed (L padded to a power of two) so jit caches a small number
+of executables per automaton.
+
+This module is imported lazily: host-only workflows never pay for jax startup.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compiler import CompiledAutomaton
+
+
+def _device_tables(compiled: CompiledAutomaton):
+    cache = compiled._cache
+    tabs = cache.get("jax_tables")
+    if tabs is None:
+        delta_flat = jnp.asarray(compiled.delta.reshape(-1), dtype=jnp.int32)
+        match_count = jnp.asarray(compiled.match_count, dtype=jnp.int32)
+        row_of = np.repeat(
+            np.arange(compiled.num_states, dtype=np.int32),
+            compiled.match_count.astype(np.int64),
+        )
+        tabs = {
+            "delta_flat": delta_flat,
+            "match_count": match_count,
+            "out_ids": jnp.asarray(compiled.out_ids, dtype=jnp.int32),
+            "row_of": jnp.asarray(row_of, dtype=jnp.int32),
+        }
+        cache["jax_tables"] = tabs
+    return tabs
+
+
+@functools.partial(jax.jit, static_argnames=("K", "H", "B"))
+def _blocked_scan_jit(delta_flat, cls_tl, K: int, H: int, B: int):
+    """cls_tl: [H+B, L] int32 class ids (time-major).  Returns [B, L] states."""
+    L = cls_tl.shape[1]
+    init = jnp.zeros((L,), dtype=jnp.int32)
+
+    def step(states, cls_t):
+        nxt = delta_flat[states * K + cls_t]
+        return nxt, nxt
+
+    _, seq = jax.lax.scan(step, init, cls_tl)
+    return seq[H:]
+
+
+def _round_up_pow2(x: int, floor: int = 1) -> int:
+    n = max(x, floor)
+    return 1 << (n - 1).bit_length()
+
+
+def choose_block(N: int, H: int) -> int:
+    """Pick a block length: bounded halo overhead, enough lanes to fill the
+    vector units, bounded step count."""
+    B = max(8 * H, 128)  # halo overhead <= 12.5%
+    # aim for >= 1024 lanes when the input allows it
+    while B > 128 and N // B < 1024:
+        B //= 2
+    return max(B, max(H, 1))
+
+
+def scan_states_jax(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: np.ndarray | None = None,
+    block: int | None = None,
+) -> np.ndarray:
+    """Blocked scan on the default JAX backend; returns numpy int32 states."""
+    N = int(cls.size)
+    if N == 0:
+        return np.empty(0, dtype=np.int32)
+    H = max(int(compiled.longest_word), 1)
+    B = block or choose_block(N, H)
+    B = max(B, H)
+    L = -(-N // B)
+    Lp = _round_up_pow2(L)
+
+    ext = np.zeros(H + Lp * B, dtype=np.int32)
+    if halo is not None and halo.size:
+        h = halo[-H:]
+        ext[H - h.size : H] = h
+    ext[H : H + N] = cls
+
+    win = np.lib.stride_tricks.sliding_window_view(ext, H + B)[::B][:Lp]
+    cls_tl = np.ascontiguousarray(win.T)  # [H+B, Lp]
+
+    tabs = _device_tables(compiled)
+    out = _blocked_scan_jit(tabs["delta_flat"], jnp.asarray(cls_tl), compiled.num_classes, H, B)
+    out = np.asarray(out)  # [B, Lp]
+    return out.T.reshape(Lp * B)[:N]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "H", "B", "S", "P"))
+def _blocked_count_jit(
+    delta_flat, match_count, out_ids, row_of, cls_tl, n_valid, K, H, B, S, P
+):
+    """Counts-only fused pass: per-pattern match counts without materializing
+    the state sequence on host.  n_valid masks tail padding."""
+    L = cls_tl.shape[1]
+    init = jnp.zeros((L,), dtype=jnp.int32)
+
+    def step(states, cls_t):
+        nxt = delta_flat[states * K + cls_t]
+        return nxt, nxt
+
+    _, seq = jax.lax.scan(step, init, cls_tl)
+    states = seq[H:]  # [B, L]
+    # global position of (t, lane) = lane * B + t
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) * B
+        + jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
+    )
+    valid = pos < n_valid
+    states = jnp.where(valid, states, 0)
+    # histogram of visited states (state 0 polluted by padding, but root is
+    # never a word so it contributes no matches)
+    hist = jnp.zeros((S,), dtype=jnp.int32).at[states.reshape(-1)].add(1)
+    contrib = hist[row_of]
+    counts = jnp.zeros((P,), dtype=jnp.int32).at[out_ids].add(contrib)
+    return counts
+
+
+def count_matches_jax(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: np.ndarray | None = None,
+    block: int | None = None,
+) -> np.ndarray:
+    """Per-pattern counts over a haystack, computed fully on device."""
+    N = int(cls.size)
+    P = compiled.num_patterns
+    if N == 0:
+        return np.zeros(P, dtype=np.int64)
+    H = max(int(compiled.longest_word), 1)
+    B = block or choose_block(N, H)
+    B = max(B, H)
+    L = -(-N // B)
+    Lp = _round_up_pow2(L)
+
+    ext = np.zeros(H + Lp * B, dtype=np.int32)
+    if halo is not None and halo.size:
+        h = halo[-H:]
+        ext[H - h.size : H] = h
+    ext[H : H + N] = cls
+    win = np.lib.stride_tricks.sliding_window_view(ext, H + B)[::B][:Lp]
+    cls_tl = np.ascontiguousarray(win.T)
+
+    tabs = _device_tables(compiled)
+    counts = _blocked_count_jit(
+        tabs["delta_flat"],
+        tabs["match_count"],
+        tabs["out_ids"],
+        tabs["row_of"],
+        jnp.asarray(cls_tl),
+        jnp.int32(N),
+        compiled.num_classes,
+        H,
+        B,
+        compiled.num_states,
+        P,
+    )
+    return np.asarray(counts).astype(np.int64)
