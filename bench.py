@@ -1,0 +1,123 @@
+"""Headline benchmark: haystack scan throughput at 100k patterns.
+
+Prints ONE JSON line:
+  {"metric": "scan_GBps_100k_patterns", "value": N, "unit": "GB/s",
+   "vs_baseline": N}
+
+vs_baseline compares against the reference pyahocorasick's committed number:
+1,000,000-char iter() scan in 0.279 s on a Xeon E3-1505M
+(reference etc/benchmarks/results/python3-xeon-u.txt:8) = 3.584 MB/s.
+
+Runs on whatever the default JAX backend is (the TPU under the driver).
+Env knobs: BENCH_PATTERNS, BENCH_CHARS, BENCH_REPS, BENCH_BLOCK.
+"""
+
+import json
+import os
+import string
+import sys
+import time
+
+import numpy as np
+
+REF_BYTES_PER_SEC = 1_000_000 / 0.279
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    n_patterns = int(os.environ.get("BENCH_PATTERNS", 100_000))
+    n_chars = int(os.environ.get("BENCH_CHARS", 1 << 25))  # 32M chars
+    reps = int(os.environ.get("BENCH_REPS", 5))
+
+    import pyahocorasick_tpu as ahocorasick
+    from pyahocorasick_tpu.ops import scan as jax_scan
+
+    rng = np.random.default_rng(42)
+    letters = np.frombuffer(string.ascii_letters.encode(), dtype=np.uint8)
+
+    t0 = time.time()
+    A = ahocorasick.Automaton()
+    lengths = rng.integers(3, 33, n_patterns)
+    seen = 0
+    for n in lengths:
+        w = bytes(letters[rng.integers(0, letters.size, n)]).decode()
+        if A.add_word(w, seen):
+            seen += 1
+    log(f"build trie: {time.time()-t0:.2f}s ({seen} unique words)")
+
+    t0 = time.time()
+    A.make_automaton()
+    compiled = A._compiled
+    log(
+        f"make_automaton: {time.time()-t0:.2f}s "
+        f"(S={compiled.num_states}, K={compiled.num_classes})"
+    )
+
+    hay = letters[rng.integers(0, letters.size, n_chars)]
+    cls = compiled.classes_of(hay.astype(np.uint32)).astype(np.int32)
+
+    import jax
+    import jax.numpy as jnp
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    H = max(int(compiled.longest_word), 1)
+    B = int(os.environ.get("BENCH_BLOCK", 0)) or jax_scan.choose_block(n_chars, H)
+    B = max(B, H)
+    L = -(-n_chars // B)
+    Lp = 1 << (L - 1).bit_length()
+    ext = np.zeros(H + Lp * B, dtype=np.int32)
+    ext[H : H + n_chars] = cls
+    win = np.lib.stride_tricks.sliding_window_view(ext, H + B)[::B][:Lp]
+    cls_tl = jnp.asarray(np.ascontiguousarray(win.T))
+    tabs = jax_scan._device_tables(compiled)
+
+    def run_counts():
+        out = jax_scan._blocked_count_jit(
+            tabs["delta_flat"],
+            tabs["match_count"],
+            tabs["out_ids"],
+            tabs["row_of"],
+            cls_tl,
+            jnp.int32(n_chars),
+            compiled.num_classes,
+            H,
+            B,
+            compiled.num_states,
+            compiled.num_patterns,
+        )
+        out.block_until_ready()
+        return out
+
+    t0 = time.time()
+    counts = run_counts()
+    log(f"compile+first run: {time.time()-t0:.2f}s, total matches {int(counts.sum())}")
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        run_counts()
+        times.append(time.time() - t0)
+    best = min(times)
+    bytes_per_sec = n_chars / best
+    gbps = bytes_per_sec / 1e9
+    log(f"scan: {best*1e3:.1f} ms for {n_chars/1e6:.0f} Mchars -> {gbps:.3f} GB/s")
+    log(f"block={B}, lanes={Lp}, halo={H}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "scan_GBps_100k_patterns",
+                "value": round(gbps, 4),
+                "unit": "GB/s",
+                "vs_baseline": round(bytes_per_sec / REF_BYTES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

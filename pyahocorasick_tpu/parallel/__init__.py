@@ -1,0 +1,6 @@
+from .sharded import (
+    ShardedAutomaton,
+    make_mesh,
+)
+
+__all__ = ["ShardedAutomaton", "make_mesh"]

@@ -10,6 +10,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment may have imported jax already (sitecustomize registering a
+# TPU plugin reads JAX_PLATFORMS at import time) — override via the live
+# config as well, before any backend is initialized.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
