@@ -89,8 +89,9 @@ def main():
             compiled.num_states,
             compiled.num_patterns,
         )
-        out.block_until_ready()
-        return out
+        # fetch to host: through remote-relay backends block_until_ready()
+        # can return before execution finishes; a device_get cannot
+        return np.asarray(out)
 
     t0 = time.time()
     counts = run_counts()

@@ -1,0 +1,480 @@
+// Native host core for pyahocorasick_tpu.
+//
+// The TPU-native framework splits work as: device (JAX/Pallas) executes the
+// dense-DFA scans; this C++ core executes the *host* runtime around it — the
+// mutable trie (the reference implements this as a CPython extension,
+// src/trienode.c / src/trie.c), BFS export for the vectorized table compiler,
+// and the sequential scan paths used by the Python iterator APIs on small
+// inputs (including iter_long's exact replay).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+// Values are int64 slots: Python maps slots to arbitrary objects for
+// STORE_ANY, or stores the integer directly for STORE_INTS/STORE_LENGTH.
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <vector>
+
+namespace {
+
+struct Edge {
+    uint32_t letter;
+    int32_t child;
+};
+
+struct Node {
+    int64_t value = 0;
+    std::vector<Edge> edges;  // insertion order preserved (parity with the
+                              // reference's append-only edge arrays)
+    bool eow = false;
+    bool dead = false;
+
+    int32_t find(uint32_t letter) const {
+        for (const Edge& e : edges)
+            if (e.letter == letter) return e.child;
+        return -1;
+    }
+};
+
+struct Trie {
+    std::vector<Node> nodes;     // arena; index 0 = root once created
+    std::vector<int32_t> freelist;
+    bool has_root = false;
+    bool last_new = false;
+
+    int32_t alloc() {
+        if (!freelist.empty()) {
+            int32_t id = freelist.back();
+            freelist.pop_back();
+            nodes[id] = Node();
+            return id;
+        }
+        nodes.emplace_back();
+        return (int32_t)nodes.size() - 1;
+    }
+
+    void ensure_root() {
+        if (!has_root) {
+            nodes.clear();
+            freelist.clear();
+            nodes.emplace_back();
+            has_root = true;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* aho_trie_new() { return new Trie(); }
+
+void aho_trie_free(void* h) { delete static_cast<Trie*>(h); }
+
+void aho_trie_clear(void* h) {
+    Trie* t = static_cast<Trie*>(h);
+    t->nodes.clear();
+    t->freelist.clear();
+    t->has_root = false;
+}
+
+// Insert a word; returns the terminal node id.  aho_trie_last_new() reports
+// whether the word was new (mirrors trie_add_word, reference src/trie.c:14-63).
+int64_t aho_trie_add_word(void* h, const uint32_t* w, int64_t n) {
+    Trie* t = static_cast<Trie*>(h);
+    t->ensure_root();
+    int32_t cur = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t child = t->nodes[cur].find(w[i]);
+        if (child < 0) {
+            child = t->alloc();
+            t->nodes[cur].edges.push_back({w[i], child});
+        }
+        cur = child;
+    }
+    Node& node = t->nodes[cur];
+    t->last_new = !node.eow;
+    node.eow = true;
+    return cur;
+}
+
+int aho_trie_last_new(void* h) { return static_cast<Trie*>(h)->last_new ? 1 : 0; }
+
+// Remove with last-multiway tail pruning (reference src/trie.c:66-136).
+// Returns 1 + old value via *old_value, or 0 when absent.
+int aho_trie_remove_word(void* h, const uint32_t* w, int64_t n, int64_t* old_value) {
+    Trie* t = static_cast<Trie*>(h);
+    if (!t->has_root || n <= 0) return 0;
+
+    int32_t cur = 0;
+    int32_t last_multiway = 0;
+    int64_t last_multiway_index = 0;
+    std::vector<int32_t> path((size_t)n);
+    for (int64_t i = 0; i < n; i++) {
+        int32_t child = t->nodes[cur].find(w[i]);
+        if (child < 0) return 0;
+        path[(size_t)i] = child;
+        cur = child;
+        const Node& nd = t->nodes[cur];
+        size_t deg = nd.edges.size();
+        if (deg > 1 || (deg == 1 && nd.eow)) {
+            last_multiway = cur;
+            last_multiway_index = i + 1;
+        }
+    }
+    Node& terminal = t->nodes[cur];
+    if (!terminal.eow) return 0;
+    *old_value = terminal.value;
+
+    if (terminal.edges.empty()) {
+        // unlink the tail from last_multiway and free the chain
+        Node& lm = t->nodes[last_multiway];
+        uint32_t letter = w[last_multiway_index];
+        for (size_t i = 0; i < lm.edges.size(); i++) {
+            if (lm.edges[i].letter == letter) {
+                lm.edges.erase(lm.edges.begin() + (long)i);
+                break;
+            }
+        }
+        for (int64_t i = last_multiway_index; i < n; i++) {
+            int32_t id = path[(size_t)i];
+            t->nodes[id].dead = true;
+            t->nodes[id].edges.clear();
+            t->freelist.push_back(id);
+        }
+    } else {
+        terminal.eow = false;
+        terminal.value = 0;
+    }
+    return 1;
+}
+
+int64_t aho_trie_find(void* h, const uint32_t* w, int64_t n) {
+    Trie* t = static_cast<Trie*>(h);
+    if (!t->has_root) return -1;
+    int32_t cur = 0;
+    for (int64_t i = 0; i < n; i++) {
+        cur = t->nodes[cur].find(w[i]);
+        if (cur < 0) return -1;
+    }
+    return cur;
+}
+
+int aho_trie_node_eow(void* h, int64_t id) {
+    return static_cast<Trie*>(h)->nodes[(size_t)id].eow ? 1 : 0;
+}
+
+int64_t aho_trie_node_value(void* h, int64_t id) {
+    return static_cast<Trie*>(h)->nodes[(size_t)id].value;
+}
+
+void aho_trie_set_value(void* h, int64_t id, int64_t v) {
+    static_cast<Trie*>(h)->nodes[(size_t)id].value = v;
+}
+
+int64_t aho_trie_longest_prefix(void* h, const uint32_t* w, int64_t n) {
+    Trie* t = static_cast<Trie*>(h);
+    if (!t->has_root) return 0;
+    int32_t cur = 0;
+    int64_t len = 0;
+    for (int64_t i = 0; i < n; i++) {
+        cur = t->nodes[cur].find(w[i]);
+        if (cur < 0) break;
+        len++;
+    }
+    return len;
+}
+
+int aho_trie_has_root(void* h) { return static_cast<Trie*>(h)->has_root ? 1 : 0; }
+
+// Live (reachable) node count via BFS.
+int64_t aho_trie_bfs_size(void* h) {
+    Trie* t = static_cast<Trie*>(h);
+    if (!t->has_root) return 0;
+    int64_t count = 0;
+    std::deque<int32_t> q{0};
+    while (!q.empty()) {
+        int32_t id = q.front();
+        q.pop_front();
+        count++;
+        for (const Edge& e : t->nodes[(size_t)id].edges) q.push_back(e.child);
+    }
+    return count;
+}
+
+// BFS-export the live trie into parallel arrays (size = aho_trie_bfs_size).
+// parent[i] < i for all i > 0; root is index 0.  This is the wire/compile
+// form shared with serialization.py and compiler.py.
+void aho_trie_bfs_export(void* h, uint32_t* parent, uint32_t* letter, uint8_t* eow,
+                         int64_t* value) {
+    Trie* t = static_cast<Trie*>(h);
+    if (!t->has_root) return;
+    std::vector<int32_t> order;
+    order.push_back(0);
+    std::vector<int64_t> newid(t->nodes.size(), -1);
+    newid[0] = 0;
+    parent[0] = 0;
+    letter[0] = 0;
+    eow[0] = t->nodes[0].eow ? 1 : 0;
+    value[0] = t->nodes[0].value;
+    for (size_t qi = 0; qi < order.size(); qi++) {
+        int32_t id = order[qi];
+        for (const Edge& e : t->nodes[(size_t)id].edges) {
+            int64_t nid = (int64_t)order.size();
+            newid[(size_t)e.child] = nid;
+            parent[nid] = (uint32_t)newid[(size_t)id];
+            letter[nid] = e.letter;
+            const Node& c = t->nodes[(size_t)e.child];
+            eow[nid] = c.eow ? 1 : 0;
+            value[nid] = c.value;
+            order.push_back(e.child);
+        }
+    }
+}
+
+int64_t aho_trie_node_degree(void* h, int64_t id) {
+    return (int64_t)static_cast<Trie*>(h)->nodes[(size_t)id].edges.size();
+}
+
+void aho_trie_node_edges(void* h, int64_t id, uint32_t* letters, int64_t* children) {
+    const Node& nd = static_cast<Trie*>(h)->nodes[(size_t)id];
+    for (size_t i = 0; i < nd.edges.size(); i++) {
+        letters[i] = nd.edges[i].letter;
+        children[i] = nd.edges[i].child;
+    }
+}
+
+// Bulk-construct from BFS arrays (deserialization fast path).  Node ids equal
+// BFS indices; eow nodes get value slots equal to their own id, matching the
+// Python-side slot convention.
+void aho_trie_import(void* h, const uint32_t* parent, const uint32_t* letter,
+                     const uint8_t* eow, int64_t S) {
+    Trie* t = static_cast<Trie*>(h);
+    t->nodes.clear();
+    t->freelist.clear();
+    t->has_root = S > 0;
+    if (S <= 0) return;
+    t->nodes.resize((size_t)S);
+    for (int64_t i = 0; i < S; i++) {
+        t->nodes[(size_t)i].eow = eow[i] != 0;
+        t->nodes[(size_t)i].value = i;
+    }
+    for (int64_t i = 1; i < S; i++) {
+        t->nodes[(size_t)parent[i]].edges.push_back({letter[i], (int32_t)i});
+    }
+}
+
+// DFS stats (reference get_stats_aux, src/Automaton.c:1044-1071).
+void aho_trie_stats(void* h, int64_t* nodes_count, int64_t* words_count,
+                    int64_t* links_count, int64_t* depth_max, int64_t* total_size) {
+    Trie* t = static_cast<Trie*>(h);
+    *nodes_count = *words_count = *links_count = *depth_max = *total_size = 0;
+    if (!t->has_root) return;
+    std::vector<std::pair<int32_t, int64_t>> stack{{0, 0}};
+    while (!stack.empty()) {
+        auto [id, depth] = stack.back();
+        stack.pop_back();
+        const Node& nd = t->nodes[(size_t)id];
+        (*nodes_count)++;
+        *words_count += nd.eow ? 1 : 0;
+        *links_count += (int64_t)nd.edges.size();
+        *total_size += 32 + 8 * (int64_t)nd.edges.size();
+        if (depth > *depth_max) *depth_max = depth;
+        for (const Edge& e : nd.edges) stack.push_back({e.child, depth + 1});
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Dense DFA construction from BFS arrays (the hot part of make_automaton's
+// lowering; level-phased so copied fail rows are always final — mirrors the
+// vectorized numpy construction in compiler.py, reference BFS:
+// src/Automaton.c:560-649).
+// ---------------------------------------------------------------------------
+
+// delta must be zero-initialized by the caller ([S*K] int32).  Returns the
+// total number of CSR output entries (so the caller can allocate out_ids and
+// call aho_fill_out_ids).
+int64_t aho_build_tables(const uint32_t* parent, const int32_t* cls,
+                         const uint8_t* eow, int64_t S, int32_t K,
+                         const int64_t* level_starts, int64_t nlevels,
+                         int32_t* delta, int32_t* fail, int32_t* depth,
+                         int32_t* word_id, int32_t* match_count) {
+    fail[0] = 0;
+    depth[0] = 0;
+    for (int64_t d = 0; d < nlevels; d++) {
+        int64_t lo = level_starts[d], hi = level_starts[d + 1];
+        if (d > 0) {
+            for (int64_t i = lo; i < hi; i++) {
+                if (i + 8 < hi)  // hide the random-row read latency
+                    __builtin_prefetch(delta + (int64_t)fail[i + 8] * K, 0, 1);
+                memcpy(delta + i * K, delta + (int64_t)fail[i] * K,
+                       (size_t)K * 4);
+                depth[i] = (int32_t)d;
+            }
+        }
+        if (d + 1 < nlevels) {
+            int64_t clo = level_starts[d + 1], chi = level_starts[d + 2];
+            for (int64_t j = clo; j < chi; j++) {
+                int64_t p = parent[j];
+                fail[j] = (d == 0) ? 0 : delta[(int64_t)fail[p] * K + cls[j]];
+                delta[p * K + cls[j]] = (int32_t)j;
+            }
+        }
+    }
+    int32_t next_pid = 0;
+    int64_t total = 0;
+    for (int64_t i = 0; i < S; i++) {
+        word_id[i] = eow[i] ? next_pid++ : -1;
+        match_count[i] = (int32_t)(eow[i] != 0) + match_count[fail[i]];
+        total += match_count[i];
+    }
+    return total;
+}
+
+// CSR output lists in fail-chain order.  out_offsets [S+1] and out_ids
+// [total] are caller-allocated; out_link scratch is internal.
+void aho_fill_out_ids(const uint8_t* eow, const int32_t* fail,
+                      const int32_t* word_id, const int32_t* match_count,
+                      int64_t S, int64_t* out_offsets, int32_t* out_ids) {
+    std::vector<int32_t> out_link((size_t)S, 0);
+    for (int64_t i = 1; i < S; i++) {
+        int32_t f = fail[i];
+        out_link[(size_t)i] = eow[f] ? f : out_link[(size_t)f];
+    }
+    out_offsets[0] = 0;
+    for (int64_t i = 0; i < S; i++)
+        out_offsets[i + 1] = out_offsets[i] + match_count[i];
+    for (int64_t i = 0; i < S; i++) {
+        int32_t mc = match_count[i];
+        if (!mc) continue;
+        int64_t off = out_offsets[i];
+        int64_t cur = eow[i] ? i : out_link[(size_t)i];
+        for (int32_t t = 0; t < mc; t++) {
+            out_ids[off + t] = word_id[cur];
+            cur = out_link[(size_t)cur];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Sequential scans over the compiled dense tables (host fast path).
+// ---------------------------------------------------------------------------
+
+// states[i] = state after consuming cls[i]; returns final state.
+int32_t aho_scan_states(const int32_t* delta, int32_t K, const int32_t* cls,
+                        int64_t n, int32_t s0, int32_t* out) {
+    int32_t s = s0;
+    for (int64_t i = 0; i < n; i++) {
+        s = delta[(int64_t)s * K + cls[i]];
+        if (out) out[i] = s;
+    }
+    return s;
+}
+
+// Full match emission in reference order.  Returns the number of matches
+// written (<= cap; call with cap=0/out=null to count).  *final_state is
+// updated for streaming.
+int64_t aho_scan_emit(const int32_t* delta, int32_t K, const int32_t* match_count,
+                      const int64_t* out_offsets, const int32_t* out_ids,
+                      const int32_t* cls, int64_t n, int32_t s0, int64_t base,
+                      int64_t* out_pos, int32_t* out_pid, int64_t cap,
+                      int32_t* final_state) {
+    int32_t s = s0;
+    int64_t written = 0;
+    for (int64_t i = 0; i < n; i++) {
+        s = delta[(int64_t)s * K + cls[i]];
+        int32_t mc = match_count[s];
+        if (mc) {
+            int64_t off = out_offsets[s];
+            for (int32_t j = 0; j < mc; j++) {
+                if (out_pos && written < cap) {
+                    out_pos[written] = base + i;
+                    out_pid[written] = out_ids[off + j];
+                }
+                written++;
+            }
+        }
+    }
+    if (final_state) *final_state = s;
+    return written;
+}
+
+// iter_long exact replay on the dense DFA
+// (reference src/AutomatonSearchIterLong.c:100-152; see iterators.py for the
+// depth-delta derivation of "a goto edge was taken").  Scans cls[index+1:end],
+// appends (pos, pid) pairs, and returns the machine state for streaming.
+struct IterLongState {
+    int32_t state;
+    int64_t index;       // last processed position
+    int32_t last_pid;    // -1 = none
+    int64_t last_index;
+};
+
+int64_t aho_iter_long_scan(const int32_t* delta, int32_t K, const int32_t* depth,
+                           const int32_t* word_id, const int32_t* fail,
+                           const int32_t* cls, int64_t end, IterLongState* st,
+                           int64_t* out_pos, int32_t* out_pid, int64_t cap) {
+    int32_t state = st->state;
+    int64_t index = st->index + 1;
+    int32_t last_pid = st->last_pid;
+    int64_t last_index = st->last_index;
+    int64_t written = 0;
+
+    auto emit = [&]() {
+        if (written < cap) {
+            out_pos[written] = last_index;
+            out_pid[written] = last_pid;
+        }
+        written++;
+        state = 0;
+        index = last_index + 1;
+        last_pid = -1;
+        last_index = -1;
+    };
+
+    for (;;) {
+        while (index < end) {
+            int32_t c = cls[index];
+            int32_t nxt = delta[(int64_t)state * K + c];
+            bool direct = depth[nxt] == depth[state] + 1;
+            if (!direct && last_pid != -1) {
+                emit();
+                continue;
+            }
+            if (nxt == 0) {  // no fail-chain node has this edge: consume it
+                state = 0;
+                index++;
+                continue;
+            }
+            if (word_id[nxt] != -1) {
+                last_pid = word_id[nxt];
+                last_index = index;
+            } else {
+                int32_t f = fail[nxt];
+                if (f != 0 && word_id[f] != -1) {
+                    last_pid = word_id[f];
+                    last_index = index;
+                    emit();
+                    continue;
+                }
+            }
+            state = nxt;
+            index++;
+        }
+        if (last_pid != -1) {
+            // end-of-input flush; the restart (index = last_index + 1) may
+            // re-expose tail matches, so keep scanning
+            emit();
+            continue;
+        }
+        break;
+    }
+    st->state = state;
+    st->index = index - 1;
+    st->last_pid = last_pid;
+    st->last_index = last_index;
+    return written;
+}
+
+}  // extern "C"

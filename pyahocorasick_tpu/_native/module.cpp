@@ -1,0 +1,393 @@
+// CPython extension wrapping the native host core (core.cpp).
+//
+// This is the low-overhead binding used by native.py: str keys are read
+// directly from the PyUnicode representation (UCS1/2/4) with no intermediate
+// numpy arrays or ctypes marshalling, mirroring how the reference extension
+// consumes PEP-393 strings (reference src/utils.c:145-236) — the per-call
+// cost is what lets build-time match the reference's C numbers.
+//
+// Buffer-based variants (suffix _buf) accept any contiguous uint32 buffer and
+// serve KEY_SEQUENCE tuples (marshalled/validated in Python) and the compiled
+// numpy tables for the sequential scan paths.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include "core.cpp"
+
+namespace {
+
+constexpr const char* kCapsuleName = "pyahocorasick_tpu._native.trie";
+
+Trie* get_trie(PyObject* cap) {
+    return static_cast<Trie*>(PyCapsule_GetPointer(cap, kCapsuleName));
+}
+
+void capsule_destructor(PyObject* cap) {
+    Trie* t = static_cast<Trie*>(PyCapsule_GetPointer(cap, kCapsuleName));
+    delete t;
+}
+
+// Extract letters from a str into a stack/heap buffer.  Returns false and
+// sets a TypeError for non-str.
+struct Letters {
+    uint32_t stack[64];
+    uint32_t* heap = nullptr;
+    uint32_t* data = nullptr;
+    Py_ssize_t len = 0;
+    ~Letters() { PyMem_Free(heap); }
+
+    bool from_unicode(PyObject* obj) {
+        if (!PyUnicode_Check(obj)) {
+            PyErr_SetString(PyExc_TypeError, "string expected");
+            return false;
+        }
+        len = PyUnicode_GET_LENGTH(obj);
+        int kind = PyUnicode_KIND(obj);
+        const void* src = PyUnicode_DATA(obj);
+        if (kind == PyUnicode_4BYTE_KIND) {
+            data = (uint32_t*)src;  // zero copy
+            return true;
+        }
+        if ((size_t)len <= sizeof(stack) / sizeof(stack[0])) {
+            data = stack;
+        } else {
+            heap = (uint32_t*)PyMem_Malloc((size_t)len * 4);
+            if (!heap) {
+                PyErr_NoMemory();
+                return false;
+            }
+            data = heap;
+        }
+        if (kind == PyUnicode_1BYTE_KIND) {
+            const Py_UCS1* s = (const Py_UCS1*)src;
+            for (Py_ssize_t i = 0; i < len; i++) data[i] = s[i];
+        } else {
+            const Py_UCS2* s = (const Py_UCS2*)src;
+            for (Py_ssize_t i = 0; i < len; i++) data[i] = s[i];
+        }
+        return true;
+    }
+};
+
+bool get_u32_buffer(PyObject* obj, Py_buffer* view) {
+    if (PyObject_GetBuffer(obj, view, PyBUF_C_CONTIGUOUS) != 0) return false;
+    if (view->itemsize != 4) {
+        PyBuffer_Release(view);
+        PyErr_SetString(PyExc_TypeError, "expected a uint32/int32 buffer");
+        return false;
+    }
+    return true;
+}
+
+// ---------------------------------------------------------------- methods
+
+PyObject* m_new(PyObject*, PyObject*) {
+    return PyCapsule_New(new Trie(), kCapsuleName, capsule_destructor);
+}
+
+PyObject* m_clear(PyObject*, PyObject* cap) {
+    aho_trie_clear(get_trie(cap));
+    Py_RETURN_NONE;
+}
+
+PyObject* m_has_root(PyObject*, PyObject* cap) {
+    return PyBool_FromLong(aho_trie_has_root(get_trie(cap)));
+}
+
+PyObject* m_add_word(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Letters w;
+    if (!w.from_unicode(args[1])) return NULL;
+    int64_t node = aho_trie_add_word(t, w.data, w.len);
+    return Py_BuildValue("Li", (long long)node, aho_trie_last_new(t));
+}
+
+PyObject* m_add_word_buf(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Py_buffer view;
+    if (!get_u32_buffer(args[1], &view)) return NULL;
+    int64_t node = aho_trie_add_word(t, (const uint32_t*)view.buf, view.len / 4);
+    PyBuffer_Release(&view);
+    return Py_BuildValue("Li", (long long)node, aho_trie_last_new(t));
+}
+
+PyObject* m_find(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Letters w;
+    if (!w.from_unicode(args[1])) return NULL;
+    return PyLong_FromLongLong(aho_trie_find(t, w.data, w.len));
+}
+
+PyObject* m_find_buf(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Py_buffer view;
+    if (!get_u32_buffer(args[1], &view)) return NULL;
+    int64_t r = aho_trie_find(t, (const uint32_t*)view.buf, view.len / 4);
+    PyBuffer_Release(&view);
+    return PyLong_FromLongLong(r);
+}
+
+PyObject* m_remove_word(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Letters w;
+    if (!w.from_unicode(args[1])) return NULL;
+    int64_t old = 0;
+    int found = aho_trie_remove_word(t, w.data, w.len, &old);
+    return Py_BuildValue("iL", found, (long long)old);
+}
+
+PyObject* m_remove_word_buf(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Py_buffer view;
+    if (!get_u32_buffer(args[1], &view)) return NULL;
+    int64_t old = 0;
+    int found = aho_trie_remove_word(t, (const uint32_t*)view.buf, view.len / 4, &old);
+    PyBuffer_Release(&view);
+    return Py_BuildValue("iL", found, (long long)old);
+}
+
+PyObject* m_longest_prefix(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Letters w;
+    if (!w.from_unicode(args[1])) return NULL;
+    return PyLong_FromLongLong(aho_trie_longest_prefix(t, w.data, w.len));
+}
+
+PyObject* m_longest_prefix_buf(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Py_buffer view;
+    if (!get_u32_buffer(args[1], &view)) return NULL;
+    int64_t r = aho_trie_longest_prefix(t, (const uint32_t*)view.buf, view.len / 4);
+    PyBuffer_Release(&view);
+    return PyLong_FromLongLong(r);
+}
+
+PyObject* m_node_eow(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    return PyBool_FromLong(
+        aho_trie_node_eow(get_trie(args[0]), PyLong_AsLongLong(args[1])));
+}
+
+PyObject* m_set_value(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    aho_trie_set_value(get_trie(args[0]), PyLong_AsLongLong(args[1]),
+                       PyLong_AsLongLong(args[2]));
+    Py_RETURN_NONE;
+}
+
+PyObject* m_bfs_size(PyObject*, PyObject* cap) {
+    return PyLong_FromLongLong(aho_trie_bfs_size(get_trie(cap)));
+}
+
+PyObject* m_bfs_export(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // args: cap, parent_buf(u32), letter_buf(u32), eow_buf(u8), value_buf(i64)
+    Trie* t = get_trie(args[0]);
+    Py_buffer p, l, e, v;
+    if (PyObject_GetBuffer(args[1], &p, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) return NULL;
+    if (PyObject_GetBuffer(args[2], &l, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&p); return NULL; }
+    if (PyObject_GetBuffer(args[3], &e, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&p); PyBuffer_Release(&l); return NULL; }
+    if (PyObject_GetBuffer(args[4], &v, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&p); PyBuffer_Release(&l); PyBuffer_Release(&e); return NULL; }
+    aho_trie_bfs_export(t, (uint32_t*)p.buf, (uint32_t*)l.buf, (uint8_t*)e.buf,
+                        (int64_t*)v.buf);
+    PyBuffer_Release(&p); PyBuffer_Release(&l); PyBuffer_Release(&e); PyBuffer_Release(&v);
+    Py_RETURN_NONE;
+}
+
+PyObject* m_import_arrays(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Py_buffer p, l, e;
+    if (PyObject_GetBuffer(args[1], &p, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (PyObject_GetBuffer(args[2], &l, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&p); return NULL; }
+    if (PyObject_GetBuffer(args[3], &e, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&p); PyBuffer_Release(&l); return NULL; }
+    aho_trie_import(t, (const uint32_t*)p.buf, (const uint32_t*)l.buf,
+                    (const uint8_t*)e.buf, p.len / 4);
+    PyBuffer_Release(&p); PyBuffer_Release(&l); PyBuffer_Release(&e);
+    Py_RETURN_NONE;
+}
+
+PyObject* m_stats(PyObject*, PyObject* cap) {
+    int64_t nodes, words, links, depth_max, total;
+    aho_trie_stats(get_trie(cap), &nodes, &words, &links, &depth_max, &total);
+    return Py_BuildValue("LLLLL", (long long)nodes, (long long)words,
+                         (long long)links, (long long)depth_max, (long long)total);
+}
+
+PyObject* m_node_edges(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    int64_t id = PyLong_AsLongLong(args[1]);
+    int64_t deg = aho_trie_node_degree(t, id);
+    PyObject* list = PyList_New(deg);
+    if (!list) return NULL;
+    std::vector<uint32_t> letters((size_t)deg);
+    std::vector<int64_t> children((size_t)deg);
+    if (deg) aho_trie_node_edges(t, id, letters.data(), children.data());
+    for (int64_t i = 0; i < deg; i++) {
+        PyObject* tup = Py_BuildValue("kL", (unsigned long)letters[(size_t)i],
+                                      (long long)children[(size_t)i]);
+        if (!tup) { Py_DECREF(list); return NULL; }
+        PyList_SET_ITEM(list, i, tup);
+    }
+    return list;
+}
+
+PyObject* m_build_tables(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // parent(u32), cls(i32), eow(u8), K, level_starts(i64),
+    // delta(i32 w), fail(i32 w), depth(i32 w), word_id(i32 w), mc(i32 w)
+    Py_buffer p, c, e, ls, delta, fail, dep, wid, mc;
+    long K = PyLong_AsLong(args[3]);
+    PyObject* bufs[9] = {args[0], args[1], args[2], args[4], args[5],
+                         args[6], args[7], args[8], args[9]};
+    Py_buffer* views[9] = {&p, &c, &e, &ls, &delta, &fail, &dep, &wid, &mc};
+    int flags[9] = {PyBUF_C_CONTIGUOUS, PyBUF_C_CONTIGUOUS, PyBUF_C_CONTIGUOUS,
+                    PyBUF_C_CONTIGUOUS, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE,
+                    PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE,
+                    PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE,
+                    PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE,
+                    PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE};
+    for (int i = 0; i < 9; i++) {
+        if (PyObject_GetBuffer(bufs[i], views[i], flags[i])) {
+            for (int j = 0; j < i; j++) PyBuffer_Release(views[j]);
+            return NULL;
+        }
+    }
+    int64_t S = p.len / 4;
+    int64_t nlevels = ls.len / 8 - 1;
+    int64_t total = aho_build_tables(
+        (const uint32_t*)p.buf, (const int32_t*)c.buf, (const uint8_t*)e.buf,
+        S, (int32_t)K, (const int64_t*)ls.buf, nlevels, (int32_t*)delta.buf,
+        (int32_t*)fail.buf, (int32_t*)dep.buf, (int32_t*)wid.buf,
+        (int32_t*)mc.buf);
+    for (int i = 0; i < 9; i++) PyBuffer_Release(views[i]);
+    return PyLong_FromLongLong(total);
+}
+
+PyObject* m_fill_out_ids(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // eow(u8), fail(i32), word_id(i32), mc(i32), out_offsets(i64 w), out_ids(i32 w)
+    Py_buffer e, fl, wid, mc, offs, oids;
+    if (PyObject_GetBuffer(args[0], &e, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (PyObject_GetBuffer(args[1], &fl, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&e); return NULL; }
+    if (PyObject_GetBuffer(args[2], &wid, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&e); PyBuffer_Release(&fl); return NULL; }
+    if (PyObject_GetBuffer(args[3], &mc, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&e); PyBuffer_Release(&fl); PyBuffer_Release(&wid); return NULL; }
+    if (PyObject_GetBuffer(args[4], &offs, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&e); PyBuffer_Release(&fl); PyBuffer_Release(&wid); PyBuffer_Release(&mc); return NULL; }
+    if (PyObject_GetBuffer(args[5], &oids, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&e); PyBuffer_Release(&fl); PyBuffer_Release(&wid); PyBuffer_Release(&mc); PyBuffer_Release(&offs); return NULL; }
+    aho_fill_out_ids((const uint8_t*)e.buf, (const int32_t*)fl.buf,
+                     (const int32_t*)wid.buf, (const int32_t*)mc.buf,
+                     e.len, (int64_t*)offs.buf, (int32_t*)oids.buf);
+    PyBuffer_Release(&e); PyBuffer_Release(&fl); PyBuffer_Release(&wid);
+    PyBuffer_Release(&mc); PyBuffer_Release(&offs); PyBuffer_Release(&oids);
+    Py_RETURN_NONE;
+}
+
+// ---- sequential scans over compiled tables ----------------------------
+
+PyObject* m_scan_states(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // delta(i32 buf), K, cls(i32 buf), s0, out(i32 buf writable)
+    Py_buffer delta, cls, out;
+    long K = PyLong_AsLong(args[1]);
+    long s0 = PyLong_AsLong(args[3]);
+    if (PyObject_GetBuffer(args[0], &delta, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (PyObject_GetBuffer(args[2], &cls, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); return NULL; }
+    if (PyObject_GetBuffer(args[4], &out, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&cls); return NULL; }
+    int32_t fin = aho_scan_states((const int32_t*)delta.buf, (int32_t)K,
+                                  (const int32_t*)cls.buf, cls.len / 4,
+                                  (int32_t)s0, (int32_t*)out.buf);
+    PyBuffer_Release(&delta); PyBuffer_Release(&cls); PyBuffer_Release(&out);
+    return PyLong_FromLong(fin);
+}
+
+PyObject* m_scan_emit(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // delta, K, mc, offs, oids, cls, s0, base, out_pos|None, out_pid|None, cap
+    Py_buffer delta, mc, offs, oids, cls;
+    long K = PyLong_AsLong(args[1]);
+    long s0 = PyLong_AsLong(args[6]);
+    long long base = PyLong_AsLongLong(args[7]);
+    long long cap = PyLong_AsLongLong(args[10]);
+    if (PyObject_GetBuffer(args[0], &delta, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (PyObject_GetBuffer(args[2], &mc, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); return NULL; }
+    if (PyObject_GetBuffer(args[3], &offs, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); PyBuffer_Release(&mc); return NULL; }
+    if (PyObject_GetBuffer(args[4], &oids, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); PyBuffer_Release(&mc); PyBuffer_Release(&offs); return NULL; }
+    if (PyObject_GetBuffer(args[5], &cls, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); PyBuffer_Release(&mc); PyBuffer_Release(&offs); PyBuffer_Release(&oids); return NULL; }
+    int64_t* out_pos = NULL;
+    int32_t* out_pid = NULL;
+    Py_buffer pos_b, pid_b;
+    bool have_out = args[8] != Py_None;
+    if (have_out) {
+        if (PyObject_GetBuffer(args[8], &pos_b, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&mc); PyBuffer_Release(&offs); PyBuffer_Release(&oids); PyBuffer_Release(&cls); return NULL; }
+        if (PyObject_GetBuffer(args[9], &pid_b, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&mc); PyBuffer_Release(&offs); PyBuffer_Release(&oids); PyBuffer_Release(&cls); PyBuffer_Release(&pos_b); return NULL; }
+        out_pos = (int64_t*)pos_b.buf;
+        out_pid = (int32_t*)pid_b.buf;
+    }
+    int32_t fin = 0;
+    int64_t n = aho_scan_emit((const int32_t*)delta.buf, (int32_t)K,
+                              (const int32_t*)mc.buf, (const int64_t*)offs.buf,
+                              (const int32_t*)oids.buf, (const int32_t*)cls.buf,
+                              cls.len / 4, (int32_t)s0, base, out_pos, out_pid,
+                              cap, &fin);
+    PyBuffer_Release(&delta); PyBuffer_Release(&mc); PyBuffer_Release(&offs);
+    PyBuffer_Release(&oids); PyBuffer_Release(&cls);
+    if (have_out) { PyBuffer_Release(&pos_b); PyBuffer_Release(&pid_b); }
+    return Py_BuildValue("Li", (long long)n, (int)fin);
+}
+
+PyObject* m_iter_long_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // delta, K, depth, word_id, fail, cls, end, state(4-tuple),
+    // out_pos, out_pid, cap  ->  (n, state-tuple)
+    Py_buffer delta, dep, wid, fl, cls, pos_b, pid_b;
+    long K = PyLong_AsLong(args[1]);
+    long long end = PyLong_AsLongLong(args[6]);
+    long long cap = PyLong_AsLongLong(args[10]);
+    IterLongState st;
+    if (!PyArg_ParseTuple(args[7], "iLiL", &st.state, &st.index, &st.last_pid,
+                          &st.last_index))
+        return NULL;
+    if (PyObject_GetBuffer(args[0], &delta, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (PyObject_GetBuffer(args[2], &dep, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); return NULL; }
+    if (PyObject_GetBuffer(args[3], &wid, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); PyBuffer_Release(&dep); return NULL; }
+    if (PyObject_GetBuffer(args[4], &fl, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); PyBuffer_Release(&dep); PyBuffer_Release(&wid); return NULL; }
+    if (PyObject_GetBuffer(args[5], &cls, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); PyBuffer_Release(&dep); PyBuffer_Release(&wid); PyBuffer_Release(&fl); return NULL; }
+    if (PyObject_GetBuffer(args[8], &pos_b, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&dep); PyBuffer_Release(&wid); PyBuffer_Release(&fl); PyBuffer_Release(&cls); return NULL; }
+    if (PyObject_GetBuffer(args[9], &pid_b, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&dep); PyBuffer_Release(&wid); PyBuffer_Release(&fl); PyBuffer_Release(&cls); PyBuffer_Release(&pos_b); return NULL; }
+    int64_t n = aho_iter_long_scan(
+        (const int32_t*)delta.buf, (int32_t)K, (const int32_t*)dep.buf,
+        (const int32_t*)wid.buf, (const int32_t*)fl.buf, (const int32_t*)cls.buf,
+        end, &st, (int64_t*)pos_b.buf, (int32_t*)pid_b.buf, cap);
+    PyBuffer_Release(&delta); PyBuffer_Release(&dep); PyBuffer_Release(&wid);
+    PyBuffer_Release(&fl); PyBuffer_Release(&cls); PyBuffer_Release(&pos_b);
+    PyBuffer_Release(&pid_b);
+    return Py_BuildValue("L(iLiL)", (long long)n, st.state, (long long)st.index,
+                         st.last_pid, (long long)st.last_index);
+}
+
+PyMethodDef methods[] = {
+    {"new", (PyCFunction)m_new, METH_NOARGS, ""},
+    {"clear", (PyCFunction)m_clear, METH_O, ""},
+    {"has_root", (PyCFunction)m_has_root, METH_O, ""},
+    {"add_word", (PyCFunction)(void*)m_add_word, METH_FASTCALL, ""},
+    {"add_word_buf", (PyCFunction)(void*)m_add_word_buf, METH_FASTCALL, ""},
+    {"find", (PyCFunction)(void*)m_find, METH_FASTCALL, ""},
+    {"find_buf", (PyCFunction)(void*)m_find_buf, METH_FASTCALL, ""},
+    {"remove_word", (PyCFunction)(void*)m_remove_word, METH_FASTCALL, ""},
+    {"remove_word_buf", (PyCFunction)(void*)m_remove_word_buf, METH_FASTCALL, ""},
+    {"longest_prefix", (PyCFunction)(void*)m_longest_prefix, METH_FASTCALL, ""},
+    {"longest_prefix_buf", (PyCFunction)(void*)m_longest_prefix_buf, METH_FASTCALL, ""},
+    {"node_eow", (PyCFunction)(void*)m_node_eow, METH_FASTCALL, ""},
+    {"set_value", (PyCFunction)(void*)m_set_value, METH_FASTCALL, ""},
+    {"bfs_size", (PyCFunction)m_bfs_size, METH_O, ""},
+    {"bfs_export", (PyCFunction)(void*)m_bfs_export, METH_FASTCALL, ""},
+    {"import_arrays", (PyCFunction)(void*)m_import_arrays, METH_FASTCALL, ""},
+    {"stats", (PyCFunction)m_stats, METH_O, ""},
+    {"node_edges", (PyCFunction)(void*)m_node_edges, METH_FASTCALL, ""},
+    {"build_tables", (PyCFunction)(void*)m_build_tables, METH_FASTCALL, ""},
+    {"fill_out_ids", (PyCFunction)(void*)m_fill_out_ids, METH_FASTCALL, ""},
+    {"scan_states", (PyCFunction)(void*)m_scan_states, METH_FASTCALL, ""},
+    {"scan_emit", (PyCFunction)(void*)m_scan_emit, METH_FASTCALL, ""},
+    {"iter_long_scan", (PyCFunction)(void*)m_iter_long_scan, METH_FASTCALL, ""},
+    {NULL, NULL, 0, NULL},
+};
+
+struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_ahocore", "native host core", -1, methods,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__ahocore(void) { return PyModule_Create(&moduledef); }

@@ -38,6 +38,16 @@ _SIZEOF_TRIENODE = 32
 _SIZEOF_AUTOMATON = 200
 
 
+def _new_trie():
+    """Pick the trie backend: native C++ core when built (see _native/), else
+    the pure-Python oracle.  PYAHOCORASICK_TPU_NATIVE=0 forces Python."""
+    from . import native
+
+    if native.available():
+        return native.NativeTrie()
+    return Trie()
+
+
 def _check_store(store):
     if store not in (STORE_LENGTH, STORE_INTS, STORE_ANY):
         raise ValueError(
@@ -63,7 +73,7 @@ class Automaton:
     """
 
     def __init__(self, *args):
-        self._trie = Trie()
+        self._trie = _new_trie()
         self._kind = EMPTY
         self._store = STORE_ANY
         self._key_type = KEY_STRING
@@ -135,9 +145,20 @@ class Automaton:
     # mutation
     # ------------------------------------------------------------------
 
+    def _marshal_key(self, key):
+        """Validate a key and return (backend_key, length).  str keys pass
+        through untouched (the native backend reads PyUnicode directly);
+        KEY_SEQUENCE tuples are validated into uint32 arrays."""
+        if self._key_type == KEY_STRING:
+            if not isinstance(key, str):
+                raise TypeError("string expected")
+            return key, len(key)
+        arr = letters_of_key(key, KEY_SEQUENCE)
+        return arr, int(arr.size)
+
     def add_word(self, key, *args):
         """Add a key; returns True for new words (src/Automaton.c:201-300)."""
-        letters = letters_of_key(key, self._key_type)
+        key, wordlen = self._marshal_key(key)
 
         if self._store == STORE_ANY:
             if not args:
@@ -154,12 +175,12 @@ class Automaton:
             else:
                 value = self._count + 1
         else:  # STORE_LENGTH
-            value = int(letters.size)
+            value = wordlen
 
-        if letters.size == 0:
+        if wordlen == 0:
             return False
 
-        node, new_word = self._trie.add_word(letters)
+        node, new_word = self._trie.add_word(key)
         node.value = value
         self._kind = TRIE
         self._compiled = None
@@ -167,17 +188,17 @@ class Automaton:
         if new_word:
             self._version += 1
             self._count += 1
-            if letters.size > self._longest_word:
-                self._longest_word = int(letters.size)
+            if wordlen > self._longest_word:
+                self._longest_word = wordlen
             return True
         return False
 
     def remove_word(self, key):
         """(src/Automaton.c:302-350, src/trie.c:66-136)"""
-        letters = letters_of_key(key, self._key_type)
-        if letters.size == 0:
+        key, wordlen = self._marshal_key(key)
+        if wordlen == 0:
             return False
-        found, _ = self._trie.remove_word(letters)
+        found, _ = self._trie.remove_word(key)
         if found:
             self._kind = TRIE
             self._compiled = None
@@ -187,8 +208,8 @@ class Automaton:
 
     def pop(self, key):
         """(src/Automaton.c:353-371)"""
-        letters = letters_of_key(key, self._key_type)
-        found, value = (False, None) if letters.size == 0 else self._trie.remove_word(letters)
+        key, wordlen = self._marshal_key(key)
+        found, value = (False, None) if wordlen == 0 else self._trie.remove_word(key)
         if not found:
             raise KeyError()
         self._kind = TRIE
@@ -214,7 +235,7 @@ class Automaton:
         return self._count
 
     def exists(self, key):
-        node = self._trie.find(letters_of_key(key, self._key_type))
+        node = self._trie.find(self._marshal_key(key)[0])
         return bool(node is not None and node.eow)
 
     __contains__ = exists
@@ -222,15 +243,15 @@ class Automaton:
     def match(self, key):
         """True when key is a prefix of (or equal to) any word
         (src/Automaton.c:460-479)."""
-        return self._trie.find(letters_of_key(key, self._key_type)) is not None
+        return self._trie.find(self._marshal_key(key)[0]) is not None
 
     def longest_prefix(self, key):
-        return self._trie.longest_prefix(letters_of_key(key, self._key_type))
+        return self._trie.longest_prefix(self._marshal_key(key)[0])
 
     def get(self, key, *args):
         if len(args) > 1:
             raise TypeError("get() takes one or two arguments (%d given)" % (1 + len(args)))
-        node = self._trie.find(letters_of_key(key, self._key_type))
+        node = self._trie.find(self._marshal_key(key)[0])
         if node is not None and node.eow:
             return node.value
         if args:
@@ -385,65 +406,40 @@ class Automaton:
     # ------------------------------------------------------------------
 
     def get_stats(self):
-        """(src/Automaton.c:1044-1096)"""
+        """(src/Automaton.c:1044-1096; cached per version like the reference)"""
         if self._stats_version != self._version or self._stats_cache is None:
-            nodes_count = words_count = links_count = 0
-            longest = 0
-            total_size = 0
             if self._kind != EMPTY and self._trie.root is not None:
-                for node, depth in self._trie.traverse():
-                    nodes_count += 1
-                    words_count += int(node.eow)
-                    links_count += node.n
-                    total_size += _SIZEOF_TRIENODE + node.n * 8
-                    if depth > longest:
-                        longest = depth
-            self._stats_cache = {
-                "nodes_count": nodes_count,
-                "words_count": words_count,
-                "longest_word": longest,
-                "links_count": links_count,
-                "sizeof_node": _SIZEOF_TRIENODE,
-                "total_size": total_size,
-            }
+                self._stats_cache = self._trie.stats()
+            else:
+                self._stats_cache = {
+                    "nodes_count": 0,
+                    "words_count": 0,
+                    "longest_word": 0,
+                    "links_count": 0,
+                    "sizeof_node": _SIZEOF_TRIENODE,
+                    "total_size": 0,
+                }
             self._stats_version = self._version
         return dict(self._stats_cache)
 
     def dump(self):
-        """Graph triple (nodes, edges, fail) with opaque int node ids
-        (src/Automaton.c:1100-1180)."""
+        """Graph triple (nodes, edges, fail) with int node ids; node ids are
+        BFS indices (the reference uses pointers — opaque ids either way;
+        src/Automaton.c:1100-1180)."""
         if self._kind == EMPTY:
             return None
-        nodes, edges, fail = [], [], []
-        compiled = self._compiled if self._kind == AHOCORASICK else None
-        # stable ids: BFS index when compiled, else python id()
-        if compiled is not None:
-            index_of = {}
-            order = []
-            stack = [(self._trie.root, 0)]
-            # rebuild BFS ids to match compiled arrays
-            from collections import deque
-
-            q = deque([self._trie.root])
-            index_of[id(self._trie.root)] = 0
-            order.append(self._trie.root)
-            while q:
-                n = q.popleft()
-                for child in n.children.values():
-                    index_of[id(child)] = len(order)
-                    order.append(child)
-                    q.append(child)
-            for node, _depth in self._trie.traverse():
-                nid = index_of[id(node)]
-                nodes.append((nid, int(node.eow)))
-                for letter, child in node.children.items():
-                    edges.append((nid, chr(letter), index_of[id(child)]))
-                fail.append((nid, int(compiled.fail[nid])))
-            return (nodes, edges, fail)
-        for node, _depth in self._trie.traverse():
-            nodes.append((id(node), int(node.eow)))
-            for letter, child in node.children.items():
-                edges.append((id(node), chr(letter), id(child)))
+        arrays = self._trie.bfs_arrays()
+        if arrays is None:
+            return None
+        parent, letter, eow, _values = arrays
+        S = parent.size
+        nodes = [(i, int(eow[i])) for i in range(S)]
+        edges = [
+            (int(parent[i]), chr(int(letter[i])), i) for i in range(1, S)
+        ]
+        fail = []
+        if self._kind == AHOCORASICK and self._compiled is not None:
+            fail = [(i, int(self._compiled.fail[i])) for i in range(S)]
         return (nodes, edges, fail)
 
     def __sizeof__(self):

@@ -105,41 +105,48 @@ class CompiledAutomaton:
 
 
 def compile_trie(trie, store: int, count: int) -> Optional[CompiledAutomaton]:
-    """Lower a host trie (with fail links *not* yet computed) into a
-    CompiledAutomaton.  Returns None for an empty trie.
+    """Lower a host trie into a CompiledAutomaton (None for an empty trie).
 
     Equivalent of automaton_make_automaton (src/Automaton.c:560-649) fused with
     full DFA resolution and output-list precomputation.
     """
-    root = trie.root
-    if root is None:
+    arrays = trie.bfs_arrays()
+    if arrays is None:
         return None
+    parent, letter, eow, values_all = arrays
+    return compile_arrays(parent, letter, eow, values_all)
 
-    # ---- collect nodes in BFS order -------------------------------------
-    nodes = [root]
-    parent_idx = [0]
-    edge_letter = [0]
-    level_starts = [0, 1]  # level d occupies ids [level_starts[d], level_starts[d+1])
-    index_of = {id(root): 0}
 
-    frontier = [root]
-    while frontier:
-        nxt = []
-        for node in frontier:
-            p = index_of[id(node)]
-            for letter, child in node.children.items():
-                index_of[id(child)] = len(nodes)
-                nodes.append(child)
-                parent_idx.append(p)
-                edge_letter.append(letter)
-                nxt.append(child)
-        if nxt:
-            level_starts.append(len(nodes))
-        frontier = nxt
+def levels_from_parents(parent: np.ndarray) -> list:
+    """BFS level boundaries from a BFS-ordered parent array.
 
-    S = len(nodes)
-    parent_idx = np.asarray(parent_idx, dtype=np.int64)
-    edge_letter_arr = np.asarray(edge_letter, dtype=np.uint32)
+    In BFS export order the parent column is non-decreasing, so each level's
+    children occupy a contiguous range found by binary search.
+    """
+    S = parent.size
+    level_starts = [0, 1]
+    while level_starts[-1] < S:
+        lo, hi = level_starts[-2], level_starts[-1]
+        # children of [lo, hi) among indices >= 1
+        chi = int(np.searchsorted(parent[1:], hi - 1, side="right")) + 1
+        if chi == hi:  # no further children
+            break
+        level_starts.append(chi)
+    return level_starts
+
+
+def compile_arrays(
+    parent: np.ndarray, letter: np.ndarray, eow: np.ndarray, values_all: List
+) -> Optional[CompiledAutomaton]:
+    """Vectorized lowering from BFS arrays (parent u32[S], letter u32[S],
+    eow bool/u8[S], values_all = per-eow-node values in BFS order)."""
+    S = int(parent.size)
+    if S == 0:
+        return None
+    parent_idx = parent.astype(np.int64)
+    edge_letter_arr = letter.astype(np.uint32)
+    eow = eow.astype(bool)
+    level_starts = levels_from_parents(parent_idx)
 
     # ---- alphabet classes ------------------------------------------------
     letters = np.unique(edge_letter_arr[1:]) if S > 1 else np.empty(0, np.uint32)
@@ -151,7 +158,6 @@ def compile_trie(trie, store: int, count: int) -> Optional[CompiledAutomaton]:
         edge_cls[1:] = np.searchsorted(letters, edge_letter_arr[1:]) + 1
 
     # ---- eow / pattern ids ----------------------------------------------
-    eow = np.fromiter((n.eow for n in nodes), dtype=bool, count=S)
     word_id = np.full(S, -1, dtype=np.int32)
     eow_idx = np.nonzero(eow)[0]
     word_id[eow_idx] = np.arange(eow_idx.size, dtype=np.int32)
@@ -159,10 +165,46 @@ def compile_trie(trie, store: int, count: int) -> Optional[CompiledAutomaton]:
     for d in range(1, len(level_starts) - 1):
         depth[level_starts[d] : level_starts[d + 1]] = d
     word_len = depth[eow_idx].astype(np.int32)
-    values = [nodes[i].value for i in eow_idx]
+    values = list(values_all)
     longest_word = int(depth.max()) if S > 1 else 0
 
-    # ---- vectorized per-level DFA + fail construction -------------------
+    # ---- DFA + fail + outputs: native fast path -------------------------
+    from . import native
+
+    if native.available():
+        ext = native._load()
+        eow_u8 = np.ascontiguousarray(eow, np.uint8)
+        cls_i32 = np.ascontiguousarray(edge_cls, np.int32)
+        parent_u32 = np.ascontiguousarray(parent, np.uint32)
+        ls = np.asarray(level_starts, np.int64)
+        delta = np.zeros((S, K), dtype=np.int32)
+        fail = np.zeros(S, dtype=np.int32)
+        depth = np.zeros(S, dtype=np.int32)
+        word_id = np.empty(S, dtype=np.int32)
+        match_count = np.zeros(S, dtype=np.int32)
+        total = ext.build_tables(
+            parent_u32, cls_i32, eow_u8, K, ls, delta, fail, depth,
+            word_id, match_count,
+        )
+        out_offsets = np.zeros(S + 1, dtype=np.int64)
+        out_ids = np.empty(total, dtype=np.int32)
+        ext.fill_out_ids(eow_u8, fail, word_id, match_count, out_offsets, out_ids)
+        word_len = depth[eow_idx].astype(np.int32)
+        return CompiledAutomaton(
+            letters=letters,
+            delta=delta,
+            fail=fail,
+            depth=depth,
+            word_id=word_id,
+            match_count=match_count,
+            out_offsets=out_offsets,
+            out_ids=out_ids,
+            word_len=word_len,
+            values=values,
+            longest_word=longest_word,
+        )
+
+    # ---- vectorized per-level DFA + fail construction (numpy fallback) --
     delta = np.zeros((S, K), dtype=np.int32)
     fail = np.zeros(S, dtype=np.int32)
 

@@ -41,8 +41,12 @@ def scan_states(
     N = int(cls.size)
 
     if engine == "auto":
+        from . import native
+
         if N >= _JAX_MIN and not _jax_failed:
             engine = "jax"
+        elif native.available():
+            engine = "seq"  # native sequential beats numpy lanes on host
         elif N >= _NUMPY_MIN:
             engine = "numpy"
         else:
@@ -60,11 +64,19 @@ def scan_states(
     if engine == "numpy":
         return cpu.scan_states_blocked(compiled, cls, halo)
 
+    from . import native
+
     state = 0
     if halo is not None and halo.size:
         H = max(int(compiled.longest_word), 1)
-        hs = cpu.scan_states_seq(compiled, halo[-H:], 0)
+        h = halo[-H:]
+        if native.available():
+            hs = native.scan_states(compiled, h, 0)
+        else:
+            hs = cpu.scan_states_seq(compiled, h, 0)
         state = int(hs[-1]) if hs.size else 0
+    if native.available():
+        return native.scan_states(compiled, cls, state)
     return cpu.scan_states_seq(compiled, cls, state)
 
 

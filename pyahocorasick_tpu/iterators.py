@@ -199,12 +199,26 @@ class SearchIterLong:
         self._last_index = -1
         self._last_pid = -1
         self._index = start - 1
+        from . import native
+
+        self._batch = native.available()
         self._load(string, start, end)
 
     def _load(self, string, start, end):
         letters = letters_of_haystack(string, self._automaton._key_type)
         self._cls = self._compiled.classes_of(letters).astype(np.int32)
         self._end = end
+        if self._batch:
+            from . import native
+
+            st0 = (self._state, self._index, self._last_pid, self._last_index)
+            pos, pids, stf = native.iter_long_scan(
+                self._compiled, self._cls, end, st0
+            )
+            self._bpos = pos
+            self._bpids = pids
+            self._bfinal = stf
+            self._bcursor = 0
 
     def __iter__(self):
         return self
@@ -222,6 +236,22 @@ class SearchIterLong:
     def __next__(self):
         if self._version != self._automaton._version:
             raise ValueError(_INVALIDATED_MSG)
+
+        if self._batch:
+            # native batch replay: at every yield boundary the machine state
+            # is exactly (root, index=pos_k, no pending), so replay is
+            # faithful including mid-stream set()
+            if self._bcursor < self._bpos.size:
+                i = self._bcursor
+                self._bcursor += 1
+                pos = int(self._bpos[i])
+                value = self._automaton._value_of_pid(int(self._bpids[i]))
+                self._state, self._index = 0, pos
+                self._last_pid, self._last_index = -1, -1
+                return (self._shift + pos, value)
+            self._state, _idx, self._last_pid, self._last_index = self._bfinal
+            self._index = self._end  # reference semantics at exhaustion
+            raise StopIteration
 
         c_ = self._compiled
         delta, depth, word_id, fail = c_.delta, c_.depth, c_.word_id, c_.fail

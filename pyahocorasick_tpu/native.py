@@ -1,0 +1,248 @@
+"""Bindings for the native host core (_native/module.cpp + core.cpp).
+
+The primary binding is the CPython extension ``_ahocore`` (METH_FASTCALL,
+zero-copy str access) — per-call overhead is what lets trie mutation match the
+reference C extension's build speed.  When the extension has not been built
+(``make -C pyahocorasick_tpu/_native``), the pure-Python trie serves as the
+fallback and differential oracle.  PYAHOCORASICK_TPU_NATIVE=0 forces Python.
+
+Keys passed to the trie layer are either ``str`` (KEY_STRING fast path) or
+contiguous uint32 numpy arrays (KEY_SEQUENCE, already validated upstream).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+_EXT = None
+_TRIED = False
+
+
+def _load():
+    global _EXT, _TRIED
+    if _TRIED:
+        return _EXT
+    _TRIED = True
+    if os.environ.get("PYAHOCORASICK_TPU_NATIVE", "1") == "0":
+        return None
+    try:
+        from ._native import _ahocore  # type: ignore
+
+        _EXT = _ahocore
+    except ImportError:
+        _EXT = None
+    return _EXT
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_u32(key) -> np.ndarray:
+    return np.ascontiguousarray(key, dtype=np.uint32)
+
+
+class NativeTrie:
+    """Drop-in counterpart of trie.Trie backed by the C++ arena trie.
+
+    Values (arbitrary Python objects) live host-side in ``_values`` keyed by
+    node id; the C++ node stores the id as its slot.
+    """
+
+    def __init__(self):
+        self._ext = _load()
+        self._h = self._ext.new()
+        self._values = {}
+
+    @property
+    def root(self):
+        if not self._ext.has_root(self._h):
+            return None
+        return NativeNodeRef(self, 0)
+
+    def add_word(self, key):
+        if isinstance(key, str):
+            nid, new = self._ext.add_word(self._h, key)
+        else:
+            nid, new = self._ext.add_word_buf(self._h, _as_u32(key))
+        return NativeNodeRef(self, nid), bool(new)
+
+    def remove_word(self, key):
+        if isinstance(key, str):
+            found, old = self._ext.remove_word(self._h, key)
+        else:
+            found, old = self._ext.remove_word_buf(self._h, _as_u32(key))
+        if not found:
+            return False, None
+        return True, self._values.pop(old, None)
+
+    def find(self, key):
+        if isinstance(key, str):
+            nid = self._ext.find(self._h, key)
+        else:
+            nid = self._ext.find_buf(self._h, _as_u32(key))
+        if nid < 0:
+            return None
+        return NativeNodeRef(self, nid)
+
+    def longest_prefix(self, key) -> int:
+        if isinstance(key, str):
+            return self._ext.longest_prefix(self._h, key)
+        return self._ext.longest_prefix_buf(self._h, _as_u32(key))
+
+    def clear(self):
+        self._ext.clear(self._h)
+        self._values.clear()
+
+    def bfs_arrays(self):
+        S = self._ext.bfs_size(self._h)
+        if S == 0:
+            return None
+        parent = np.empty(S, np.uint32)
+        letter = np.empty(S, np.uint32)
+        eow = np.empty(S, np.uint8)
+        slot = np.empty(S, np.int64)
+        self._ext.bfs_export(self._h, parent, letter, eow, slot)
+        eow_rows = np.nonzero(eow)[0]
+        values = [self._values[int(slot[i])] for i in eow_rows]
+        return parent, letter, eow, values
+
+    def import_arrays(self, parent, letter, eow, values):
+        parent = np.ascontiguousarray(parent, np.uint32)
+        letter = np.ascontiguousarray(letter, np.uint32)
+        eow_arr = np.ascontiguousarray(eow, np.uint8)
+        self._ext.import_arrays(self._h, parent, letter, eow_arr)
+        self._values = {
+            int(nid): values[i] for i, nid in enumerate(np.nonzero(eow_arr)[0])
+        }
+
+    def stats(self):
+        nodes, words, links, depth_max, total = self._ext.stats(self._h)
+        return {
+            "nodes_count": nodes,
+            "words_count": words,
+            "longest_word": depth_max,
+            "links_count": links,
+            "sizeof_node": 32,
+            "total_size": total,
+        }
+
+
+class NativeNodeRef:
+    __slots__ = ("_trie", "_id")
+
+    def __init__(self, trie: NativeTrie, nid: int):
+        self._trie = trie
+        self._id = int(nid)
+
+    @property
+    def eow(self) -> bool:
+        return self._trie._ext.node_eow(self._trie._h, self._id)
+
+    @property
+    def value(self):
+        return self._trie._values.get(self._id)
+
+    @value.setter
+    def value(self, v):
+        self._trie._values[self._id] = v
+        self._trie._ext.set_value(self._trie._h, self._id, self._id)
+
+    @property
+    def children(self):
+        """Insertion-ordered {letter: NativeNodeRef}; used by the
+        keys()/items() DFS only."""
+        t = self._trie
+        return {
+            letter: NativeNodeRef(t, child)
+            for letter, child in t._ext.node_edges(t._h, self._id)
+        }
+
+
+# ---------------------------------------------------------------------------
+# sequential scans on compiled tables (host fast path)
+# ---------------------------------------------------------------------------
+
+
+def scan_states(compiled, cls: np.ndarray, state: int = 0) -> np.ndarray:
+    ext = _load()
+    cls = np.ascontiguousarray(cls, dtype=np.int32)
+    out = np.empty(cls.size, np.int32)
+    ext.scan_states(compiled.delta, compiled.num_classes, cls, state, out)
+    return out
+
+
+def scan_emit(compiled, cls: np.ndarray, state: int = 0, base: int = 0):
+    """Returns (positions i64[], pids i32[], final_state) in reference order."""
+    ext = _load()
+    cls = np.ascontiguousarray(cls, dtype=np.int32)
+    empty64 = np.empty(0, np.int64)
+    n, _fin = ext.scan_emit(
+        compiled.delta,
+        compiled.num_classes,
+        compiled.match_count,
+        compiled.out_offsets,
+        compiled.out_ids,
+        cls,
+        state,
+        base,
+        None,
+        None,
+        0,
+    )
+    pos = np.empty(n, np.int64)
+    pid = np.empty(n, np.int32)
+    _, fin = ext.scan_emit(
+        compiled.delta,
+        compiled.num_classes,
+        compiled.match_count,
+        compiled.out_offsets,
+        compiled.out_ids,
+        cls,
+        state,
+        base,
+        pos,
+        pid,
+        n,
+    )
+    return pos, pid, int(fin)
+
+
+def iter_long_scan(compiled, cls: np.ndarray, end: int, state_tuple, cap=None):
+    """Batch iter_long over cls[state.index+1:end].
+
+    Returns (positions, pids, new_state_tuple); state_tuple =
+    (state, index, last_pid, last_index)."""
+    ext = _load()
+    cls = np.ascontiguousarray(cls, dtype=np.int32)
+    st0 = tuple(state_tuple)
+    if cap is None:
+        # guess low; the scan still counts everything and we re-run with the
+        # exact size if the guess was short
+        cap = min(max(int(end) - int(st0[1]), 1), 1 << 20)
+
+    def run(c):
+        pos = np.empty(c, np.int64)
+        pid = np.empty(c, np.int32)
+        n, st = ext.iter_long_scan(
+            compiled.delta,
+            compiled.num_classes,
+            compiled.depth,
+            compiled.word_id,
+            compiled.fail,
+            cls,
+            int(end),
+            st0,
+            pos,
+            pid,
+            c,
+        )
+        return pos, pid, n, st
+
+    pos, pid, n, st = run(cap)
+    if n > cap:
+        pos, pid, n, st = run(n)
+    return pos[:n], pid[:n], st

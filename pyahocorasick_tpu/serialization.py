@@ -42,43 +42,15 @@ _SAVE_FOOTER = struct.Struct("<20sq")
 def _trie_to_arrays(automaton):
     """BFS-serialize the host trie: (parent u32[S], letter u32[S], eow u8[S],
     values list in BFS-eow order)."""
-    S = 0
-    parents, letters, eows, values = [], [], [], []
-    trie = automaton._trie
-    if trie.root is None:
+    arrays = automaton._trie.bfs_arrays()
+    if arrays is None:
         return (
             np.empty(0, np.uint32),
             np.empty(0, np.uint32),
             np.empty(0, np.uint8),
             [],
         )
-    from collections import deque
-
-    index_of = {id(trie.root): 0}
-    q = deque([trie.root])
-    parents.append(0)
-    letters.append(0)
-    eows.append(0)
-    S = 1
-    while q:
-        node = q.popleft()
-        p = index_of[id(node)]
-        if node.eow:
-            eows[p] = 1
-            values.append(node.value)
-        for letter, child in node.children.items():
-            index_of[id(child)] = S
-            parents.append(p)
-            letters.append(int(letter))
-            eows.append(0)
-            S += 1
-            q.append(child)
-    return (
-        np.asarray(parents, np.uint32),
-        np.asarray(letters, np.uint32),
-        np.asarray(eows, np.uint8),
-        values,
-    )
+    return arrays
 
 
 def _arrays_to_blob(parent, letter, eow) -> list:
@@ -113,12 +85,12 @@ def _blob_to_arrays(blob: list):
 def _rebuild_trie(automaton, parent, letter, eow, values):
     """Reconstruct the host trie with full validation (the analog of
     automaton_unpickle's bounds checks, src/Automaton_pickle.c:326-488)."""
+    from . import native
     from .trie import Trie, TrieNode
 
     S = parent.size
-    trie = Trie()
     if S == 0:
-        automaton._trie = trie
+        automaton._trie = Trie()
         return
 
     n_words = int(eow.sum())
@@ -130,16 +102,25 @@ def _rebuild_trie(automaton, parent, letter, eow, values):
         if (p >= np.arange(1, S)).any():
             # BFS order invariant: parent strictly precedes child
             raise ValueError("Incorrect pickle data: node id out of range.")
+        # duplicate-edge check: (parent, letter) pairs must be unique
+        key = p * (1 << 32) + letter[1:].astype(np.int64)
+        if np.unique(key).size != S - 1:
+            raise ValueError("Incorrect pickle data: duplicate edge.")
 
+    if native.available():
+        trie = native.NativeTrie()
+        vlist = values if values is not None else [None] * n_words
+        trie.import_arrays(parent, letter, eow, vlist)
+        automaton._trie = trie
+        return
+
+    trie = Trie()
     nodes = [TrieNode() for _ in range(S)]
     trie.root = nodes[0]
     vi = 0
     for i in range(1, S):
         par = nodes[int(parent[i])]
-        lt = int(letter[i])
-        if lt in par.children:
-            raise ValueError("Incorrect pickle data: duplicate edge.")
-        par.children[lt] = nodes[i]
+        par.children[int(letter[i])] = nodes[i]
     for i in range(S):
         if eow[i]:
             nodes[i].eow = True

@@ -19,6 +19,13 @@ from __future__ import annotations
 from typing import Iterator, Optional, Tuple
 
 
+def _letters(key):
+    """Normalize a key (str | uint32 array | list) to a list of int letters."""
+    if isinstance(key, str):
+        return [ord(c) for c in key]
+    return [int(x) for x in key]
+
+
 class TrieNode:
     """One trie node.  ``children`` preserves insertion order (dict), matching
     the reference's append-only edge arrays (src/trienode.c:124-147)."""
@@ -43,6 +50,7 @@ class Trie:
 
     def add_word(self, letters) -> Tuple[TrieNode, bool]:
         """Insert a path; returns (node, new_word).  (src/trie.c:14-63)"""
+        letters = _letters(letters)
         if self.root is None:
             self.root = TrieNode()
 
@@ -65,6 +73,7 @@ class Trie:
         if self.root is None:
             return False, None
 
+        letters = _letters(letters)
         node = self.root
         last_multiway = node
         last_multiway_index = 0
@@ -99,7 +108,7 @@ class Trie:
         node = self.root
         if node is None:
             return None
-        for letter in letters:
+        for letter in _letters(letters):
             node = node.children.get(int(letter))
             if node is None:
                 return None
@@ -110,7 +119,7 @@ class Trie:
         length = 0
         if node is None:
             return 0
-        for letter in letters:
+        for letter in _letters(letters):
             node = node.children.get(int(letter))
             if node is None:
                 break
@@ -147,3 +156,61 @@ class Trie:
             depth = item[3]
             for letter, child in node.children.items():
                 queue.append((child, node, letter, depth + 1))
+
+    def stats(self):
+        """DFS statistics matching the reference's get_stats numbers
+        (sizeof_node/total_size mimic the 32-byte x86-64 C node layout)."""
+        nodes_count = words_count = links_count = 0
+        longest = 0
+        total_size = 0
+        if self.root is not None:
+            for node, depth in self.traverse():
+                nodes_count += 1
+                words_count += int(node.eow)
+                links_count += node.n
+                total_size += 32 + node.n * 8
+                if depth > longest:
+                    longest = depth
+        return {
+            "nodes_count": nodes_count,
+            "words_count": words_count,
+            "longest_word": longest,
+            "links_count": links_count,
+            "sizeof_node": 32,
+            "total_size": total_size,
+        }
+
+    def bfs_arrays(self):
+        """BFS-export to (parent u32[S], letter u32[S], eow u8[S], values)
+        where values holds per-eow-node values in BFS order.  This is the
+        canonical wire/compile form shared with the native backend, the
+        serializer and the table compiler."""
+        import numpy as np
+
+        if self.root is None:
+            return None
+        parents = [0]
+        letters = [0]
+        eows = [1 if self.root.eow else 0]
+        values = []
+        order = [self.root]
+        index_of = {id(self.root): 0}
+        qi = 0
+        while qi < len(order):
+            node = order[qi]
+            p = index_of[id(node)]
+            if node.eow:
+                values.append(node.value)
+            for letter, child in node.children.items():
+                index_of[id(child)] = len(order)
+                order.append(child)
+                parents.append(p)
+                letters.append(int(letter))
+                eows.append(1 if child.eow else 0)
+            qi += 1
+        return (
+            np.asarray(parents, np.uint32),
+            np.asarray(letters, np.uint32),
+            np.asarray(eows, np.uint8),
+            values,
+        )

@@ -85,17 +85,27 @@ def test_iter_long_vs_naive_greedy(rng=None):
     A = build(sorted(words))
     hay = "".join(chr(97 + c) for c in rng.integers(0, 3, 3000))
 
-    # naive transcription of AutomatonSearchIterLong.c:100-152 on the trie
-    trie = A._trie
+    # naive transcription of AutomatonSearchIterLong.c:100-152 on an
+    # independently-built dict trie (self-contained oracle)
+    class N:
+        __slots__ = ("children", "eow", "value")
+
+        def __init__(self):
+            self.children, self.eow, self.value = {}, False, None
+
+    root = N()
+    for w in sorted(words):
+        node = root
+        for ch in w:
+            node = node.children.setdefault(ord(ch), N())
+        node.eow, node.value = True, w
 
     def goto(node, ch):
         return node.children.get(ord(ch))
 
     fails = {}
-    # recompute fail links on host nodes via BFS (for the naive oracle only)
     from collections import deque
 
-    root = trie.root
     fails[id(root)] = None
     q = deque()
     for child in root.children.values():
