@@ -31,16 +31,21 @@ def main():
     n_patterns = int(os.environ.get("BENCH_PATTERNS", 100_000))
     n_chars = int(os.environ.get("BENCH_CHARS", 1 << 25))  # 32M chars
     reps = int(os.environ.get("BENCH_REPS", 5))
+    mode = os.environ.get("BENCH_MODE", "counts")  # counts | scan | dna
 
     import pyahocorasick_tpu as ahocorasick
     from pyahocorasick_tpu.ops import scan as jax_scan
 
     rng = np.random.default_rng(42)
-    letters = np.frombuffer(string.ascii_letters.encode(), dtype=np.uint8)
+    if mode == "dna":
+        letters = np.frombuffer(b"acgt", dtype=np.uint8)
+        lengths = np.full(n_patterns, 20)  # CRISPR-guide 20-mers
+    else:
+        letters = np.frombuffer(string.ascii_letters.encode(), dtype=np.uint8)
+        lengths = rng.integers(3, 33, n_patterns)
 
     t0 = time.time()
     A = ahocorasick.Automaton()
-    lengths = rng.integers(3, 33, n_patterns)
     seen = 0
     for n in lengths:
         w = bytes(letters[rng.integers(0, letters.size, n)]).decode()
@@ -62,7 +67,39 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}, mode={mode}")
+
+    if mode == "dna":
+        from pyahocorasick_tpu.ops import stride
+
+        s2 = stride.build_stride2(compiled)
+        log(f"stride2 table: {'ok' if s2 else 'infeasible'}")
+
+        def run_dna():
+            return stride.count_total_stride2(compiled, cls)
+
+        t0 = time.time()
+        total = run_dna()
+        log(f"compile+first run: {time.time()-t0:.2f}s, total matches {total}")
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            run_dna()
+            times.append(time.time() - t0)
+        best = min(times)
+        gbps = n_chars / best / 1e9
+        log(f"dna stride2: {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
+        print(
+            json.dumps(
+                {
+                    "metric": "dna_counts_GBps_100k_guides",
+                    "value": round(gbps, 4),
+                    "unit": "GB/s",
+                    "vs_baseline": round(n_chars / best / REF_BYTES_PER_SEC, 2),
+                }
+            )
+        )
+        return
 
     H = max(int(compiled.longest_word), 1)
     B = int(os.environ.get("BENCH_BLOCK", 0)) or jax_scan.choose_block(n_chars, H)
@@ -76,19 +113,24 @@ def main():
     tabs = jax_scan._device_tables(compiled)
 
     def run_counts():
-        out = jax_scan._blocked_count_jit(
-            tabs["delta_flat"],
-            tabs["match_count"],
-            tabs["out_ids"],
-            tabs["row_of"],
-            cls_tl,
-            jnp.int32(n_chars),
-            compiled.num_classes,
-            H,
-            B,
-            compiled.num_states,
-            compiled.num_patterns,
-        )
+        if mode == "scan":
+            out = jax_scan._blocked_scan_final_jit(
+                tabs["delta_flat"], cls_tl, compiled.num_classes, H, B
+            )
+        else:
+            out = jax_scan._blocked_count_jit(
+                tabs["delta_flat"],
+                tabs["match_count"],
+                tabs["out_ids"],
+                tabs["row_of"],
+                cls_tl,
+                jnp.int32(n_chars),
+                compiled.num_classes,
+                H,
+                B,
+                compiled.num_states,
+                compiled.num_patterns,
+            )
         # fetch to host: through remote-relay backends block_until_ready()
         # can return before execution finishes; a device_get cannot
         return np.asarray(out)

@@ -11,10 +11,15 @@
 // Values are int64 slots: Python maps slots to arbitrary objects for
 // STORE_ANY, or stores the integer directly for STORE_INTS/STORE_LENGTH.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <deque>
 #include <vector>
+
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
 
 namespace {
 
@@ -23,17 +28,98 @@ struct Edge {
     int32_t child;
 };
 
+// Node with the first edge stored inline: the vast majority of trie nodes
+// have degree <= 1 (word tails), so this avoids a heap allocation per node
+// and keeps the walk cache-friendly.  Insertion order is preserved (parity
+// with the reference's append-only edge arrays, src/trienode.c:124-147):
+// the inline edge is the first-inserted, spill holds the rest in order.
 struct Node {
     int64_t value = 0;
-    std::vector<Edge> edges;  // insertion order preserved (parity with the
-                              // reference's append-only edge arrays)
+    std::vector<Edge>* spill = nullptr;
+    uint32_t letter0 = 0;
+    int32_t child0 = -1;
     bool eow = false;
     bool dead = false;
 
+    Node() = default;
+    Node(const Node&) = delete;
+    Node& operator=(const Node&) = delete;
+    Node(Node&& o) noexcept
+        : value(o.value), spill(o.spill), letter0(o.letter0), child0(o.child0),
+          eow(o.eow), dead(o.dead) {
+        o.spill = nullptr;
+    }
+    Node& operator=(Node&& o) noexcept {
+        if (this != &o) {
+            delete spill;
+            value = o.value; spill = o.spill; letter0 = o.letter0;
+            child0 = o.child0; eow = o.eow; dead = o.dead;
+            o.spill = nullptr;
+        }
+        return *this;
+    }
+    ~Node() { delete spill; }
+
     int32_t find(uint32_t letter) const {
-        for (const Edge& e : edges)
-            if (e.letter == letter) return e.child;
+        if (child0 >= 0 && letter0 == letter) return child0;
+        if (spill)
+            for (const Edge& e : *spill)
+                if (e.letter == letter) return e.child;
         return -1;
+    }
+
+    size_t degree() const {
+        return (child0 >= 0 ? 1 : 0) + (spill ? spill->size() : 0);
+    }
+
+    void add_edge(uint32_t letter, int32_t child) {
+        if (child0 < 0 && !spill) {
+            letter0 = letter;
+            child0 = child;
+            return;
+        }
+        if (child0 < 0) {  // inline slot empty but spill exists: keep order
+            spill->push_back({letter, child});
+            return;
+        }
+        if (!spill) spill = new std::vector<Edge>();
+        spill->push_back({letter, child});
+    }
+
+    void erase_edge(uint32_t letter) {
+        if (child0 >= 0 && letter0 == letter) {
+            if (spill && !spill->empty()) {
+                letter0 = (*spill)[0].letter;
+                child0 = (*spill)[0].child;
+                spill->erase(spill->begin());
+                if (spill->empty()) { delete spill; spill = nullptr; }
+            } else {
+                child0 = -1;
+            }
+            return;
+        }
+        if (spill) {
+            for (size_t i = 0; i < spill->size(); i++) {
+                if ((*spill)[i].letter == letter) {
+                    spill->erase(spill->begin() + (long)i);
+                    if (spill->empty()) { delete spill; spill = nullptr; }
+                    return;
+                }
+            }
+        }
+    }
+
+    template <typename F>
+    void for_each_edge(F&& f) const {
+        if (child0 >= 0) f(letter0, child0);
+        if (spill)
+            for (const Edge& e : *spill) f(e.letter, e.child);
+    }
+
+    void clear_edges() {
+        delete spill;
+        spill = nullptr;
+        child0 = -1;
     }
 };
 
@@ -89,7 +175,7 @@ int64_t aho_trie_add_word(void* h, const uint32_t* w, int64_t n) {
         int32_t child = t->nodes[cur].find(w[i]);
         if (child < 0) {
             child = t->alloc();
-            t->nodes[cur].edges.push_back({w[i], child});
+            t->nodes[cur].add_edge(w[i], child);
         }
         cur = child;
     }
@@ -117,7 +203,7 @@ int aho_trie_remove_word(void* h, const uint32_t* w, int64_t n, int64_t* old_val
         path[(size_t)i] = child;
         cur = child;
         const Node& nd = t->nodes[cur];
-        size_t deg = nd.edges.size();
+        size_t deg = nd.degree();
         if (deg > 1 || (deg == 1 && nd.eow)) {
             last_multiway = cur;
             last_multiway_index = i + 1;
@@ -127,20 +213,14 @@ int aho_trie_remove_word(void* h, const uint32_t* w, int64_t n, int64_t* old_val
     if (!terminal.eow) return 0;
     *old_value = terminal.value;
 
-    if (terminal.edges.empty()) {
+    if (terminal.degree() == 0) {
         // unlink the tail from last_multiway and free the chain
         Node& lm = t->nodes[last_multiway];
-        uint32_t letter = w[last_multiway_index];
-        for (size_t i = 0; i < lm.edges.size(); i++) {
-            if (lm.edges[i].letter == letter) {
-                lm.edges.erase(lm.edges.begin() + (long)i);
-                break;
-            }
-        }
+        lm.erase_edge(w[last_multiway_index]);
         for (int64_t i = last_multiway_index; i < n; i++) {
             int32_t id = path[(size_t)i];
             t->nodes[id].dead = true;
-            t->nodes[id].edges.clear();
+            t->nodes[id].clear_edges();
             t->freelist.push_back(id);
         }
     } else {
@@ -188,19 +268,18 @@ int64_t aho_trie_longest_prefix(void* h, const uint32_t* w, int64_t n) {
 
 int aho_trie_has_root(void* h) { return static_cast<Trie*>(h)->has_root ? 1 : 0; }
 
-// Live (reachable) node count via BFS.
+// Live (reachable) node count via BFS (vector-based frontier walk).
 int64_t aho_trie_bfs_size(void* h) {
     Trie* t = static_cast<Trie*>(h);
     if (!t->has_root) return 0;
-    int64_t count = 0;
-    std::deque<int32_t> q{0};
-    while (!q.empty()) {
-        int32_t id = q.front();
-        q.pop_front();
-        count++;
-        for (const Edge& e : t->nodes[(size_t)id].edges) q.push_back(e.child);
+    std::vector<int32_t> order;
+    order.reserve(t->nodes.size() - t->freelist.size());
+    order.push_back(0);
+    for (size_t qi = 0; qi < order.size(); qi++) {
+        t->nodes[(size_t)order[qi]].for_each_edge(
+            [&](uint32_t, int32_t child) { order.push_back(child); });
     }
-    return count;
+    return (int64_t)order.size();
 }
 
 // BFS-export the live trie into parallel arrays (size = aho_trie_bfs_size).
@@ -220,29 +299,31 @@ void aho_trie_bfs_export(void* h, uint32_t* parent, uint32_t* letter, uint8_t* e
     value[0] = t->nodes[0].value;
     for (size_t qi = 0; qi < order.size(); qi++) {
         int32_t id = order[qi];
-        for (const Edge& e : t->nodes[(size_t)id].edges) {
+        t->nodes[(size_t)id].for_each_edge([&](uint32_t lt, int32_t ch) {
             int64_t nid = (int64_t)order.size();
-            newid[(size_t)e.child] = nid;
+            newid[(size_t)ch] = nid;
             parent[nid] = (uint32_t)newid[(size_t)id];
-            letter[nid] = e.letter;
-            const Node& c = t->nodes[(size_t)e.child];
+            letter[nid] = lt;
+            const Node& c = t->nodes[(size_t)ch];
             eow[nid] = c.eow ? 1 : 0;
             value[nid] = c.value;
-            order.push_back(e.child);
-        }
+            order.push_back(ch);
+        });
     }
 }
 
 int64_t aho_trie_node_degree(void* h, int64_t id) {
-    return (int64_t)static_cast<Trie*>(h)->nodes[(size_t)id].edges.size();
+    return (int64_t)static_cast<Trie*>(h)->nodes[(size_t)id].degree();
 }
 
 void aho_trie_node_edges(void* h, int64_t id, uint32_t* letters, int64_t* children) {
     const Node& nd = static_cast<Trie*>(h)->nodes[(size_t)id];
-    for (size_t i = 0; i < nd.edges.size(); i++) {
-        letters[i] = nd.edges[i].letter;
-        children[i] = nd.edges[i].child;
-    }
+    size_t i = 0;
+    nd.for_each_edge([&](uint32_t lt, int32_t ch) {
+        letters[i] = lt;
+        children[i] = ch;
+        i++;
+    });
 }
 
 // Bulk-construct from BFS arrays (deserialization fast path).  Node ids equal
@@ -261,7 +342,7 @@ void aho_trie_import(void* h, const uint32_t* parent, const uint32_t* letter,
         t->nodes[(size_t)i].value = i;
     }
     for (int64_t i = 1; i < S; i++) {
-        t->nodes[(size_t)parent[i]].edges.push_back({letter[i], (int32_t)i});
+        t->nodes[(size_t)parent[i]].add_edge(letter[i], (int32_t)i);
     }
 }
 
@@ -278,10 +359,11 @@ void aho_trie_stats(void* h, int64_t* nodes_count, int64_t* words_count,
         const Node& nd = t->nodes[(size_t)id];
         (*nodes_count)++;
         *words_count += nd.eow ? 1 : 0;
-        *links_count += (int64_t)nd.edges.size();
-        *total_size += 32 + 8 * (int64_t)nd.edges.size();
+        *links_count += (int64_t)nd.degree();
+        *total_size += 32 + 8 * (int64_t)nd.degree();
         if (depth > *depth_max) *depth_max = depth;
-        for (const Edge& e : nd.edges) stack.push_back({e.child, depth + 1});
+        nd.for_each_edge(
+            [&](uint32_t, int32_t child) { stack.push_back({child, depth + 1}); });
     }
 }
 
@@ -300,15 +382,29 @@ int64_t aho_build_tables(const uint32_t* parent, const int32_t* cls,
                          const int64_t* level_starts, int64_t nlevels,
                          int32_t* delta, int32_t* fail, int32_t* depth,
                          int32_t* word_id, int32_t* match_count) {
+    // note: MADV_HUGEPAGE was tried here and removed — on the target VMs
+    // huge-page faulting is far slower than 4K faulting (compaction stalls)
     fail[0] = 0;
     depth[0] = 0;
+    std::vector<int64_t> by_src;
     for (int64_t d = 0; d < nlevels; d++) {
         int64_t lo = level_starts[d], hi = level_starts[d + 1];
         if (d > 0) {
-            for (int64_t i = lo; i < hi; i++) {
-                if (i + 8 < hi)  // hide the random-row read latency
-                    __builtin_prefetch(delta + (int64_t)fail[i + 8] * K, 0, 1);
-                memcpy(delta + i * K, delta + (int64_t)fail[i] * K,
+            // copy rows in ascending source-row order: the reads then stream
+            // the (already final) shallower region mostly sequentially
+            // instead of thrashing TLB/cache with random rows
+            by_src.clear();
+            by_src.reserve((size_t)(hi - lo));
+            for (int64_t i = lo; i < hi; i++)
+                by_src.push_back(((int64_t)fail[i] << 28) | (i - lo));
+            std::sort(by_src.begin(), by_src.end());
+            const int64_t kIdxMask = (1LL << 28) - 1;
+            for (size_t k = 0; k < by_src.size(); k++) {
+                int64_t i = lo + (by_src[k] & kIdxMask);
+                if (k + 8 < by_src.size())
+                    __builtin_prefetch(
+                        delta + (by_src[k + 8] >> 28) * K, 0, 1);
+                memcpy(delta + i * K, delta + (by_src[k] >> 28) * K,
                        (size_t)K * 4);
                 depth[i] = (int32_t)d;
             }

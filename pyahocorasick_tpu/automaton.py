@@ -156,6 +156,17 @@ class Automaton:
         arr = letters_of_key(key, KEY_SEQUENCE)
         return arr, int(arr.size)
 
+    def _marshal_haystack(self, obj):
+        """Search-input -> uint32 letter array (type errors mirror the
+        reference's iter()/find_all() checks, src/Automaton.c:903-964)."""
+        return letters_of_haystack(obj, self._key_type)
+
+    def _key_of_letters(self, letters):
+        """Inverse mapping used by keys()/items() to materialize keys."""
+        from .utils import key_from_letters
+
+        return key_from_letters(letters, self._key_type)
+
     def add_word(self, key, *args):
         """Add a key; returns True for new words (src/Automaton.c:201-300)."""
         key, wordlen = self._marshal_key(key)
@@ -294,7 +305,7 @@ class Automaton:
             return None
         if not callable(callback):
             raise TypeError("The callback argument must be a callable such as a function.")
-        letters = letters_of_haystack(string, self._key_type)
+        letters = self._marshal_haystack(string)
         start, end = parse_start_end(args, 0, 1, 0, letters.size)
         compiled = self._ensure_compiled()
         cls = compiled.classes_of(letters[start:end]).astype(np.int32)
@@ -323,7 +334,7 @@ class Automaton:
         """(src/Automaton.c:969-1041, src/AutomatonSearchIterLong.c)"""
         if self._kind != AHOCORASICK:
             raise AttributeError("not an automaton yet; add some words and call make_automaton")
-        letters = letters_of_haystack(string, self._key_type)
+        letters = self._marshal_haystack(string)
         start, end = parse_start_end(args, 0, 1, 0, letters.size)
         self._ensure_compiled()
         return SearchIterLong(self, string, start, end)
@@ -342,7 +353,7 @@ class Automaton:
         if self._kind != AHOCORASICK:
             raise AttributeError("not an automaton yet; add some words and call make_automaton")
         compiled = self._ensure_compiled()
-        letters = letters_of_haystack(string, self._key_type)
+        letters = self._marshal_haystack(string)
         cls = compiled.classes_of(letters).astype(np.int32)
         states = engines.scan_states(compiled, cls)
         positions, pids = cpu.emit_matches(compiled, states)
@@ -354,9 +365,32 @@ class Automaton:
         if self._kind != AHOCORASICK:
             raise AttributeError("not an automaton yet; add some words and call make_automaton")
         compiled = self._ensure_compiled()
-        letters = letters_of_haystack(string, self._key_type)
+        letters = self._marshal_haystack(string)
         cls = compiled.classes_of(letters).astype(np.int32)
         return engines.count_matches(compiled, cls)
+
+    def count_total(self, string):
+        """Total number of matches over the haystack.
+
+        Uses the packed stride-2 engine (two chars per device gather, counts
+        folded into the transition entries; ops/stride.py) when the automaton
+        admits it, else falls back to the per-pattern counts reduction.
+        """
+        if self._kind != AHOCORASICK:
+            raise AttributeError("not an automaton yet; add some words and call make_automaton")
+        compiled = self._ensure_compiled()
+        letters = self._marshal_haystack(string)
+        cls = compiled.classes_of(letters).astype(np.int32)
+        if cls.size >= engines._JAX_MIN and not engines._jax_failed:
+            try:
+                from .ops import stride
+
+                total = stride.count_total_stride2(compiled, cls)
+                if total is not None:
+                    return total
+            except ImportError:
+                pass
+        return int(engines.count_matches(compiled, cls).sum())
 
     # ------------------------------------------------------------------
     # keys / values / items

@@ -149,13 +149,23 @@ def compile_arrays(
     level_starts = levels_from_parents(parent_idx)
 
     # ---- alphabet classes ------------------------------------------------
-    letters = np.unique(edge_letter_arr[1:]) if S > 1 else np.empty(0, np.uint32)
-    letters = letters.astype(np.uint32)
-    K = int(letters.size) + 1
-    # class of the edge *into* each node (undefined for root)
     edge_cls = np.zeros(S, dtype=np.int64)
-    if S > 1:
+    if S <= 1:
+        letters = np.empty(0, np.uint32)
+    elif int(edge_letter_arr[1:].max()) < (1 << 21):
+        # mask/LUT path: O(S) without the sort np.unique would do (letters
+        # here are code points; 2 MB of flags covers all of Unicode)
+        top = int(edge_letter_arr[1:].max()) + 1
+        mask = np.zeros(top, dtype=bool)
+        mask[edge_letter_arr[1:]] = True
+        letters = np.nonzero(mask)[0].astype(np.uint32)
+        lut = np.zeros(top, dtype=np.int64)
+        lut[letters] = np.arange(1, letters.size + 1)
+        edge_cls[1:] = lut[edge_letter_arr[1:]]
+    else:
+        letters = np.unique(edge_letter_arr[1:]).astype(np.uint32)
         edge_cls[1:] = np.searchsorted(letters, edge_letter_arr[1:]) + 1
+    K = int(letters.size) + 1
 
     # ---- eow / pattern ids ----------------------------------------------
     word_id = np.full(S, -1, dtype=np.int32)

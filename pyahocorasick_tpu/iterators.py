@@ -77,7 +77,7 @@ class SearchIter:
     # -- chunk management ---------------------------------------------------
 
     def _load_chunk(self, string, start, end):
-        letters = letters_of_haystack(string, self._automaton._key_type)
+        letters = self._automaton._marshal_haystack(string)
         n = letters.size
         start = min(max(start, 0), n)
         end = min(max(end, 0), n)
@@ -205,7 +205,7 @@ class SearchIterLong:
         self._load(string, start, end)
 
     def _load(self, string, start, end):
-        letters = letters_of_haystack(string, self._automaton._key_type)
+        letters = self._automaton._marshal_haystack(string)
         self._cls = self._compiled.classes_of(letters).astype(np.int32)
         self._end = end
         if self._batch:
@@ -375,12 +375,12 @@ class ItemsIter:
 
             if output and node.eow:
                 if self._kind == ItemsIter.KEYS:
-                    return key_from_letters(self._buffer, self._automaton._key_type)
+                    return self._automaton._key_of_letters(self._buffer)
                 elif self._kind == ItemsIter.VALUES:
                     return node.value
                 else:
                     return (
-                        key_from_letters(self._buffer, self._automaton._key_type),
+                        self._automaton._key_of_letters(self._buffer),
                         node.value,
                     )
         raise StopIteration

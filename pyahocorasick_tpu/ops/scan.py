@@ -63,6 +63,20 @@ def _blocked_scan_jit(delta_flat, cls_tl, K: int, H: int, B: int):
     return seq[H:]
 
 
+@functools.partial(jax.jit, static_argnames=("K", "H", "B"))
+def _blocked_scan_final_jit(delta_flat, cls_tl, K: int, H: int, B: int):
+    """Scan without materializing per-position states: returns final per-lane
+    states only (isolates pure transition throughput for benchmarking)."""
+    L = cls_tl.shape[1]
+    init = jnp.zeros((L,), dtype=jnp.int32)
+
+    def step(states, cls_t):
+        return delta_flat[states * K + cls_t], ()
+
+    fin, _ = jax.lax.scan(step, init, cls_tl)
+    return fin
+
+
 def _round_up_pow2(x: int, floor: int = 1) -> int:
     n = max(x, floor)
     return 1 << (n - 1).bit_length()

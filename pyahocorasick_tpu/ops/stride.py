@@ -1,0 +1,166 @@
+"""Stride-2 transition tables: two input characters per gather.
+
+The scan recurrence cost on TPU is ~1 serialized gather per character (see
+PLAN.md).  For compact alphabets the classic countermeasure is a composed
+table over character *pairs*:
+
+    delta2[s, c1*K + c2] = delta[delta[s, c1], c2]
+
+halving the sequential gather count.  Match information for BOTH positions is
+packed into the same int32 entry (counts in the bits above the state id), so
+total match counting costs zero extra gathers:
+
+    entry = next_state | (mc(mid) + mc(end)) << state_bits
+
+Feasible when S*K^2*4B fits the memory budget (DNA K=5: ~25x S; ASCII text
+K~53: only small automata) and when packed counts cannot overflow — both are
+checked at build time, with automatic fallback to the stride-1 engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..compiler import CompiledAutomaton
+
+_DEFAULT_BUDGET = 2 << 30  # 2 GiB
+
+
+def build_stride2(compiled: CompiledAutomaton, max_bytes: int = _DEFAULT_BUDGET):
+    """Build (and cache) the packed stride-2 table, or None if infeasible."""
+    cache = compiled._cache
+    if "stride2" in cache:
+        return cache["stride2"]
+    S, K = compiled.num_states, compiled.num_classes
+    result = None
+    if S * K * K * 4 <= max_bytes:
+        state_bits = max(int(S - 1).bit_length(), 1)
+        count_bits = 31 - state_bits
+        if count_bits >= 2:
+            delta = compiled.delta.astype(np.int32)
+            mid = delta  # [S, K] state after first char
+            nxt = delta[mid]  # [S, K, K] state after both
+            mc2 = (
+                compiled.match_count[mid][:, :, None]
+                + compiled.match_count[nxt]
+            )
+            if int(mc2.max(initial=0)) < (1 << count_bits):
+                packed = nxt | (mc2.astype(np.int32) << state_bits)
+                result = {
+                    "table": packed.reshape(S, K * K),
+                    "state_bits": state_bits,
+                    "state_mask": (1 << state_bits) - 1,
+                }
+    cache["stride2"] = result
+    return result
+
+
+def _device_stride2(compiled: CompiledAutomaton):
+    import jax.numpy as jnp
+
+    cache = compiled._cache
+    if "stride2_dev" not in cache:
+        s2 = build_stride2(compiled)
+        cache["stride2_dev"] = (
+            None
+            if s2 is None
+            else {
+                "table_flat": jnp.asarray(s2["table"].reshape(-1)),
+                "state_bits": s2["state_bits"],
+                "state_mask": s2["state_mask"],
+            }
+        )
+    return cache["stride2_dev"]
+
+
+def count_total_stride2(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: np.ndarray | None = None,
+    block: int | None = None,
+):
+    """Total match count over the haystack with the stride-2 engine, or None
+    when the packed table is infeasible for this automaton."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = _device_stride2(compiled)
+    if dev is None:
+        return None
+
+    N = int(cls.size)
+    if N == 0:
+        return 0
+    K = compiled.num_classes
+    H = max(int(compiled.longest_word), 1)
+    H += H & 1  # even halo so pairs align
+    from .scan import _round_up_pow2, choose_block
+
+    B = block or choose_block(N, H)
+    B = max(B, H)
+    B += B & 1
+    L = -(-N // B)
+    Lp = _round_up_pow2(L)
+
+    ext = np.zeros(H + Lp * B, dtype=np.int64)
+    if halo is not None and halo.size:
+        h = halo[-H:]
+        ext[H - h.size : H] = h
+    ext[H : H + N] = cls
+    # tail padding must not create phantom matches: class 0 transitions reach
+    # only root, whose match_count is 0, so zero-padding is safe — but only
+    # positions < N may contribute; root contributes nothing so it's exact.
+    win = np.lib.stride_tricks.sliding_window_view(ext, H + B)[::B][:Lp]
+    pairs = win[:, 0::2] * K + win[:, 1::2]  # [Lp, (H+B)/2]
+    cls2_tl = np.ascontiguousarray(pairs.T).astype(np.int32)  # [(H+B)/2, Lp]
+
+    out = _stride2_count_jit(
+        dev["table_flat"],
+        jnp.asarray(cls2_tl),
+        K * K,
+        H // 2,
+        dev["state_bits"],
+        dev["state_mask"],
+    )
+    return int(np.asarray(out).astype(np.int64).sum())
+
+
+@functools.lru_cache(maxsize=None)
+def _get_stride2_count_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(
+        jax.jit, static_argnames=("K2", "H2", "state_bits", "state_mask")
+    )
+    def fn(table_flat, cls2_tl, K2, H2, state_bits, state_mask):
+        L = cls2_tl.shape[1]
+
+        def step_halo(s, c2):
+            e = table_flat[s * K2 + c2]
+            return e & state_mask, ()
+
+        def step_count(carry, c2):
+            s, acc = carry
+            e = table_flat[s * K2 + c2]
+            return (e & state_mask, acc + (e >> state_bits)), ()
+
+        s0 = jnp.zeros((L,), dtype=jnp.int32)
+        s_h, _ = jax.lax.scan(step_halo, s0, cls2_tl[:H2])
+        (s_f, acc), _ = jax.lax.scan(
+            step_count,
+            (s_h, jnp.zeros((L,), dtype=jnp.int32)),
+            cls2_tl[H2:],
+        )
+        # per-lane totals are summed on host in int64 (totals can exceed 2^31)
+        return acc
+
+    return fn
+
+
+def _stride2_count_jit(table_flat, cls2_tl, K2, H2, state_bits, state_mask):
+    return _get_stride2_count_jit()(
+        table_flat, cls2_tl, K2, H2, state_bits, state_mask
+    )

@@ -189,7 +189,7 @@ def save_automaton(automaton, path, serializer):
         f.write(_SAVE_FOOTER.pack(SAVE_MAGIC, S))
 
 
-def load_automaton(path, deserializer):
+def load_automaton(path, deserializer, cls=None):
     """Module-level load(path, deserializer) (reference:
     src/custompickle/load/module_automaton_load.c:13-36)."""
     from .automaton import Automaton
@@ -199,7 +199,7 @@ def load_automaton(path, deserializer):
     if not callable(deserializer):
         raise TypeError("the second argument must be a callable object")
 
-    automaton = Automaton()
+    automaton = (cls or Automaton)()
     with open(path, "rb") as f:
         head = f.read(_SAVE_HEADER.size)
         if len(head) != _SAVE_HEADER.size:
