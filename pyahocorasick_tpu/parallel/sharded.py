@@ -101,6 +101,14 @@ class ShardedAutomaton:
             self.row_of[i, c.out_ids.size :] = 0
 
         self._count_fn = None
+        self._search_fn = None
+        # per-shard metadata for reassembling emission results
+        self.shard_offsets = np.cumsum(
+            [0] + [c.num_patterns for c in self.shards]
+        )
+        self.word_len_all = np.concatenate(
+            [c.word_len for c in self.shards]
+        ) if self.shards else np.empty(0, np.int32)
 
     # -- per-shard class mapping -----------------------------------------
 
@@ -165,6 +173,162 @@ class ShardedAutomaton:
             check_vma=False,
         )
         return jax.jit(fn)
+
+    def _build_search_fn(self, B: int, Lloc: int, CAP: int):
+        mesh = self.mesh
+        S, K, H = self.S, self.K, self.H
+        steps = H + B
+
+        def local_scan_emit(delta_flat, match_count, ext_cls, n_valid):
+            # out: per-device (count [1,1,1], positions [1,1,CAP], states [1,1,CAP])
+            df = delta_flat[0]
+            mc = match_count[0]
+            ext = ext_cls[0, 0]
+            idx = (
+                jax.lax.broadcasted_iota(jnp.int32, (steps, Lloc), 1) * B
+                + jax.lax.broadcasted_iota(jnp.int32, (steps, Lloc), 0)
+            )
+            cls_tl = ext[idx]
+
+            def step(states, cls_t):
+                nxt = df[states * K + cls_t]
+                return nxt, nxt
+
+            init = jnp.zeros((Lloc,), dtype=jnp.int32)
+            _, seq = jax.lax.scan(step, init, cls_tl)
+            # position-major order so compaction preserves ascending positions
+            states = seq[H:].T.reshape(-1)  # [Lloc*B]
+            pos = jax.lax.broadcasted_iota(jnp.int32, (Lloc * B, 1), 0)[:, 0]
+            valid = pos < n_valid[0, 0]
+            flag = (mc[states] > 0) & valid
+            dst = jnp.cumsum(flag.astype(jnp.int32)) - 1
+            count = jnp.where(flag.size, dst[-1] + 1, 0)
+            dst = jnp.where(flag, jnp.minimum(dst, CAP - 1), CAP)
+            buf_pos = (
+                jnp.full((CAP + 1,), -1, jnp.int32).at[dst].set(pos, mode="drop")
+            )[:CAP]
+            buf_state = (
+                jnp.zeros((CAP + 1,), jnp.int32).at[dst].set(states, mode="drop")
+            )[:CAP]
+            return (
+                count.reshape(1, 1, 1),
+                buf_pos.reshape(1, 1, CAP),
+                buf_state.reshape(1, 1, CAP),
+            )
+
+        from jax import shard_map
+
+        fn = shard_map(
+            local_scan_emit,
+            mesh=mesh,
+            in_specs=(
+                P("pattern"),
+                P("pattern"),
+                P("pattern", "data"),
+                P("pattern", "data"),
+            ),
+            out_specs=(
+                P("pattern", "data"),
+                P("pattern", "data"),
+                P("pattern", "data"),
+            ),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(
+        self,
+        letters_u32: np.ndarray,
+        block: int = 256,
+        cap_per_device: int = 1 << 16,
+    ):
+        """Full match emission across the mesh.
+
+        Returns (end_positions int64[], global_pattern_ids int64[]) in the
+        reference's exact order (position ascending, longest pattern first at
+        equal positions — fail-chain order).  Pattern ids are shard-major;
+        ``values_of`` maps them back to values.
+        """
+        mesh = self.mesh
+        kp, kd = mesh.shape["pattern"], mesh.shape["data"]
+        H = self.H
+        N = int(letters_u32.size)
+        B = max(block, H)
+        Nloc = -(-N // kd)
+        Lloc = -(-Nloc // B)
+
+        cls_all = self.classes_per_shard(letters_u32)
+        ext = np.zeros((kp, kd, H + Lloc * B), dtype=np.int32)
+        n_valid = np.zeros((kp, kd), dtype=np.int32)
+        for d in range(kd):
+            lo = d * Nloc
+            hi = min(lo + Nloc, N)
+            if hi <= lo:
+                continue
+            ext[:, d, H : H + (hi - lo)] = cls_all[:, lo:hi]
+            halo = cls_all[:, max(lo - H, 0) : lo]
+            if halo.shape[1]:
+                ext[:, d, H - halo.shape[1] : H] = halo
+            n_valid[:, d] = hi - lo
+
+        CAP = int(cap_per_device)
+        key = (B, Lloc, CAP)
+        if self._search_fn is None or self._search_key != key:
+            self._search_fn = self._build_search_fn(B, Lloc, CAP)
+            self._search_key = key
+
+        with self.mesh:
+            counts, pos_buf, state_buf = self._search_fn(
+                jnp.asarray(self.delta_flat),
+                jnp.asarray(self.match_count),
+                jnp.asarray(ext),
+                jnp.asarray(n_valid),
+            )
+        counts = np.asarray(counts)[..., 0]  # [kp, kd]
+        if int(counts.max(initial=0)) > CAP:
+            return self.search(
+                letters_u32,
+                block=block,
+                cap_per_device=int(counts.max()) + 1024,
+            )
+        pos_buf = np.asarray(pos_buf)
+        state_buf = np.asarray(state_buf)
+
+        all_pos, all_pid = [], []
+        for i, c in enumerate(self.shards):
+            for d in range(kd):
+                m = int(counts[i, d])
+                if not m:
+                    continue
+                pos = pos_buf[i, d, :m].astype(np.int64) + d * Nloc
+                states = state_buf[i, d, :m]
+                # CSR expansion on host (order: fail-chain per position)
+                mc = c.match_count[states].astype(np.int64)
+                starts = c.out_offsets[states]
+                total = int(mc.sum())
+                cum = np.zeros(m, np.int64)
+                np.cumsum(mc[:-1], out=cum[1:])
+                flat = np.repeat(starts - cum, mc) + np.arange(total, dtype=np.int64)
+                all_pid.append(
+                    c.out_ids[flat].astype(np.int64) + self.shard_offsets[i]
+                )
+                all_pos.append(np.repeat(pos, mc))
+        if not all_pos:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        pos = np.concatenate(all_pos)
+        pid = np.concatenate(all_pid)
+        # global reference order: end ascending, longer pattern first at ties
+        order = np.lexsort((-self.word_len_all[pid], pos))
+        return pos[order], pid[order]
+
+    def values_of(self, global_pids: np.ndarray):
+        """Map shard-major global pattern ids back to stored values."""
+        out = []
+        bounds = self.shard_offsets
+        for g in global_pids:
+            i = int(np.searchsorted(bounds, g, side="right")) - 1
+            out.append(self.shards[i].values[int(g - bounds[i])])
+        return out
 
     def count_matches(self, letters_u32: np.ndarray, block: int = 256) -> np.ndarray:
         """Per-pattern global counts; returns int64 [sum of shard pattern
