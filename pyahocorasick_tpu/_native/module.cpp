@@ -17,6 +17,21 @@
 
 namespace {
 
+// Allocation failures must surface as Python MemoryError, never crash —
+// the contract the reference enforces with its ALLOC_FAIL injection harness
+// (reference src/utils.c:13-61, runtest.sh mallocfaults).
+template <typename F>
+PyObject* guarded(F&& f) {
+    try {
+        return f();
+    } catch (const std::bad_alloc&) {
+        return PyErr_NoMemory();
+    } catch (const std::exception& e) {
+        PyErr_SetString(PyExc_RuntimeError, e.what());
+        return NULL;
+    }
+}
+
 constexpr const char* kCapsuleName = "pyahocorasick_tpu._native.trie";
 
 Trie* get_trie(PyObject* cap) {
@@ -99,17 +114,23 @@ PyObject* m_add_word(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     Trie* t = get_trie(args[0]);
     Letters w;
     if (!w.from_unicode(args[1])) return NULL;
-    int64_t node = aho_trie_add_word(t, w.data, w.len);
-    return Py_BuildValue("Li", (long long)node, aho_trie_last_new(t));
+    return guarded([&]() {
+        int64_t node = aho_trie_add_word(t, w.data, w.len);
+        return Py_BuildValue("Li", (long long)node, aho_trie_last_new(t));
+    });
 }
 
 PyObject* m_add_word_buf(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     Trie* t = get_trie(args[0]);
     Py_buffer view;
     if (!get_u32_buffer(args[1], &view)) return NULL;
-    int64_t node = aho_trie_add_word(t, (const uint32_t*)view.buf, view.len / 4);
+    PyObject* r = guarded([&]() {
+        int64_t node =
+            aho_trie_add_word(t, (const uint32_t*)view.buf, view.len / 4);
+        return Py_BuildValue("Li", (long long)node, aho_trie_last_new(t));
+    });
     PyBuffer_Release(&view);
-    return Py_BuildValue("Li", (long long)node, aho_trie_last_new(t));
+    return r;
 }
 
 PyObject* m_find(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
@@ -198,10 +219,13 @@ PyObject* m_import_arrays(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     if (PyObject_GetBuffer(args[1], &p, PyBUF_C_CONTIGUOUS)) return NULL;
     if (PyObject_GetBuffer(args[2], &l, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&p); return NULL; }
     if (PyObject_GetBuffer(args[3], &e, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&p); PyBuffer_Release(&l); return NULL; }
-    aho_trie_import(t, (const uint32_t*)p.buf, (const uint32_t*)l.buf,
-                    (const uint8_t*)e.buf, p.len / 4);
+    PyObject* r = guarded([&]() {
+        aho_trie_import(t, (const uint32_t*)p.buf, (const uint32_t*)l.buf,
+                        (const uint8_t*)e.buf, p.len / 4);
+        Py_RETURN_NONE;
+    });
     PyBuffer_Release(&p); PyBuffer_Release(&l); PyBuffer_Release(&e);
-    Py_RETURN_NONE;
+    return r;
 }
 
 PyObject* m_stats(PyObject*, PyObject* cap) {
@@ -251,13 +275,16 @@ PyObject* m_build_tables(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     }
     int64_t S = p.len / 4;
     int64_t nlevels = ls.len / 8 - 1;
-    int64_t total = aho_build_tables(
-        (const uint32_t*)p.buf, (const int32_t*)c.buf, (const uint8_t*)e.buf,
-        S, (int32_t)K, (const int64_t*)ls.buf, nlevels, (int32_t*)delta.buf,
-        (int32_t*)fail.buf, (int32_t*)dep.buf, (int32_t*)wid.buf,
-        (int32_t*)mc.buf);
+    PyObject* r = guarded([&]() {
+        int64_t total = aho_build_tables(
+            (const uint32_t*)p.buf, (const int32_t*)c.buf,
+            (const uint8_t*)e.buf, S, (int32_t)K, (const int64_t*)ls.buf,
+            nlevels, (int32_t*)delta.buf, (int32_t*)fail.buf,
+            (int32_t*)dep.buf, (int32_t*)wid.buf, (int32_t*)mc.buf);
+        return PyLong_FromLongLong(total);
+    });
     for (int i = 0; i < 9; i++) PyBuffer_Release(views[i]);
-    return PyLong_FromLongLong(total);
+    return r;
 }
 
 PyObject* m_fill_out_ids(PyObject*, PyObject* const* args, Py_ssize_t nargs) {

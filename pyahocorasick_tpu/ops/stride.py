@@ -128,39 +128,43 @@ def count_total_stride2(
 
 
 @functools.lru_cache(maxsize=None)
-def _get_stride2_count_jit():
+def _get_stride2_fns():
     import jax
     import jax.numpy as jnp
 
+    # two separate single-scan dispatches: nested/chained scans and tuple xs
+    # hang the remote TPU compiler (see PLAN.md)
+    @functools.partial(jax.jit, static_argnames=("K2", "state_mask"))
+    def warmup(table_flat, cls2_halo, K2, state_mask):
+        L = cls2_halo.shape[1]
+
+        def step(s, c2):
+            return table_flat[s * K2 + c2] & state_mask, ()
+
+        fin, _ = jax.lax.scan(step, jnp.zeros((L,), jnp.int32), cls2_halo)
+        return fin
+
     @functools.partial(
-        jax.jit, static_argnames=("K2", "H2", "state_bits", "state_mask")
+        jax.jit, static_argnames=("K2", "state_bits", "state_mask")
     )
-    def fn(table_flat, cls2_tl, K2, H2, state_bits, state_mask):
-        L = cls2_tl.shape[1]
-
-        def step_halo(s, c2):
-            e = table_flat[s * K2 + c2]
-            return e & state_mask, ()
-
-        def step_count(carry, c2):
+    def count(table_flat, cls2_body, init_states, K2, state_bits, state_mask):
+        def step(carry, c2):
             s, acc = carry
             e = table_flat[s * K2 + c2]
             return (e & state_mask, acc + (e >> state_bits)), ()
 
-        s0 = jnp.zeros((L,), dtype=jnp.int32)
-        s_h, _ = jax.lax.scan(step_halo, s0, cls2_tl[:H2])
         (s_f, acc), _ = jax.lax.scan(
-            step_count,
-            (s_h, jnp.zeros((L,), dtype=jnp.int32)),
-            cls2_tl[H2:],
+            step,
+            (init_states, jnp.zeros_like(init_states)),
+            cls2_body,
         )
-        # per-lane totals are summed on host in int64 (totals can exceed 2^31)
+        # per-lane totals summed on host in int64 (totals can exceed 2^31)
         return acc
 
-    return fn
+    return warmup, count
 
 
 def _stride2_count_jit(table_flat, cls2_tl, K2, H2, state_bits, state_mask):
-    return _get_stride2_count_jit()(
-        table_flat, cls2_tl, K2, H2, state_bits, state_mask
-    )
+    warmup, count = _get_stride2_fns()
+    init = warmup(table_flat, cls2_tl[:H2], K2, state_mask)
+    return count(table_flat, cls2_tl[H2:], init, K2, state_bits, state_mask)
