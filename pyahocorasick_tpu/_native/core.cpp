@@ -496,6 +496,24 @@ int64_t aho_scan_emit(const int32_t* delta, int32_t K, const int32_t* match_coun
     return written;
 }
 
+// Resolve DFA states at sparse positions: state(pos) equals a root-started
+// scan of the last H = longest_word characters (the halo property used by
+// the blocked device kernels), so each match position found by the device
+// flag pass is resolved with <= H host transitions.
+void aho_resolve_states(const int32_t* delta, int32_t K, const int32_t* cls,
+                        int64_t n, const int64_t* pos, int64_t m, int32_t H,
+                        int32_t* out_states) {
+    for (int64_t i = 0; i < m; i++) {
+        int64_t p = pos[i];
+        int64_t start = p - H + 1;
+        if (start < 0) start = 0;
+        int32_t s = 0;
+        for (int64_t j = start; j <= p && j < n; j++)
+            s = delta[(int64_t)s * K + cls[j]];
+        out_states[i] = s;
+    }
+}
+
 // iter_long exact replay on the dense DFA
 // (reference src/AutomatonSearchIterLong.c:100-152; see iterators.py for the
 // depth-delta derivation of "a goto edge was taken").  Scans cls[index+1:end],

@@ -355,6 +355,24 @@ PyObject* m_scan_emit(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     return Py_BuildValue("Li", (long long)n, (int)fin);
 }
 
+PyObject* m_resolve_states(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // delta(i32), K, cls(i32), pos(i64), H, out(i32 w)
+    Py_buffer delta, cls, pos, out;
+    long K = PyLong_AsLong(args[1]);
+    long H = PyLong_AsLong(args[4]);
+    if (PyObject_GetBuffer(args[0], &delta, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (PyObject_GetBuffer(args[2], &cls, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); return NULL; }
+    if (PyObject_GetBuffer(args[3], &pos, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); PyBuffer_Release(&cls); return NULL; }
+    if (PyObject_GetBuffer(args[5], &out, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&cls); PyBuffer_Release(&pos); return NULL; }
+    aho_resolve_states((const int32_t*)delta.buf, (int32_t)K,
+                       (const int32_t*)cls.buf, cls.len / 4,
+                       (const int64_t*)pos.buf, pos.len / 8, (int32_t)H,
+                       (int32_t*)out.buf);
+    PyBuffer_Release(&delta); PyBuffer_Release(&cls); PyBuffer_Release(&pos);
+    PyBuffer_Release(&out);
+    Py_RETURN_NONE;
+}
+
 PyObject* m_iter_long_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     // delta, K, depth, word_id, fail, cls, end, state(4-tuple),
     // out_pos, out_pid, cap  ->  (n, state-tuple)
@@ -407,6 +425,7 @@ PyMethodDef methods[] = {
     {"fill_out_ids", (PyCFunction)(void*)m_fill_out_ids, METH_FASTCALL, ""},
     {"scan_states", (PyCFunction)(void*)m_scan_states, METH_FASTCALL, ""},
     {"scan_emit", (PyCFunction)(void*)m_scan_emit, METH_FASTCALL, ""},
+    {"resolve_states", (PyCFunction)(void*)m_resolve_states, METH_FASTCALL, ""},
     {"iter_long_scan", (PyCFunction)(void*)m_iter_long_scan, METH_FASTCALL, ""},
     {NULL, NULL, 0, NULL},
 };

@@ -309,8 +309,7 @@ class Automaton:
         start, end = parse_start_end(args, 0, 1, 0, letters.size)
         compiled = self._ensure_compiled()
         cls = compiled.classes_of(letters[start:end]).astype(np.int32)
-        states = engines.scan_states(compiled, cls)
-        positions, pids = cpu.emit_matches(compiled, states, base=start)
+        positions, pids = engines.emit(compiled, cls, base=start)
         values = compiled.values
         for pos, pid in zip(positions.tolist(), pids.tolist()):
             callback(pos, values[pid])
@@ -355,8 +354,7 @@ class Automaton:
         compiled = self._ensure_compiled()
         letters = self._marshal_haystack(string)
         cls = compiled.classes_of(letters).astype(np.int32)
-        states = engines.scan_states(compiled, cls)
-        positions, pids = cpu.emit_matches(compiled, states)
+        positions, pids = engines.emit(compiled, cls)
         return positions, pids, compiled.values
 
     def count_matches(self, string):

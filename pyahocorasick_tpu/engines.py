@@ -80,6 +80,55 @@ def scan_states(
     return cpu.scan_states_seq(compiled, cls, state)
 
 
+def emit(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: np.ndarray | None = None,
+    base: int = 0,
+):
+    """(end_positions, pattern_ids) for a haystack, reference emission order.
+
+    On the jax engine with the native core present, uses the sparse-flags
+    pipeline: the device scan emits one packed match bit per character (the
+    flag rides the transition entry's sign bit, so device cost equals
+    scan-only), and the host resolves only matching positions via bounded
+    window re-scans.  Falls back to dense state materialization otherwise.
+    """
+    global _jax_failed
+    engine = _forced()
+    N = int(cls.size)
+    if engine == "auto" and N >= _JAX_MIN and not _jax_failed:
+        engine = "jax"
+    if engine == "jax":
+        from . import native
+
+        if native.available():
+            try:
+                from .ops import scan as jax_scan
+
+                positions = jax_scan.matched_positions_jax(compiled, cls, halo)
+                if positions.size == 0:
+                    return (
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64),
+                    )
+                H = max(int(compiled.longest_word), 1)
+                h = halo[-H:] if halo is not None and halo.size else None
+                if h is not None:
+                    ext = np.concatenate([h.astype(np.int32), cls])
+                    states_at = native.resolve_states(
+                        compiled, ext, positions + h.size
+                    )
+                else:
+                    states_at = native.resolve_states(compiled, cls, positions)
+                pos, pids = cpu.expand_matches(compiled, positions, states_at)
+                return pos + base, pids
+            except ImportError:
+                _jax_failed = True
+    states = scan_states(compiled, cls, halo)
+    return cpu.emit_matches(compiled, states, base=base)
+
+
 def count_matches(
     compiled: CompiledAutomaton, cls: np.ndarray, halo: np.ndarray | None = None
 ) -> np.ndarray:
@@ -90,6 +139,18 @@ def count_matches(
     if engine == "auto":
         engine = "jax" if (N >= _JAX_MIN and not _jax_failed) else "numpy"
     if engine == "jax":
+        from . import native
+
+        if native.available():
+            try:
+                # sparse-flags pipeline: device cost = scan-only
+                _, pids = emit(compiled, cls, halo)
+                counts = np.bincount(
+                    pids, minlength=compiled.num_patterns
+                ).astype(np.int64)
+                return counts
+            except ImportError:
+                _jax_failed = True
         try:
             from .ops import scan as jax_scan
 

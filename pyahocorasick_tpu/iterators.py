@@ -92,8 +92,7 @@ class SearchIter:
             fed_positions = None
 
         cls = self._compiled.classes_of(segment).astype(np.int32)
-        states = engines.scan_states(self._compiled, cls, self._halo)
-        pos, pids = cpu.emit_matches(self._compiled, states)
+        pos, pids = engines.emit(self._compiled, cls, self._halo)
         if fed_positions is not None:
             positions = fed_positions[pos] if pos.size else pos
         else:

@@ -32,9 +32,35 @@ def _load():
         from ._native import _ahocore  # type: ignore
 
         _EXT = _ahocore
+        _warn_if_stale()
     except ImportError:
         _EXT = None
     return _EXT
+
+
+def _warn_if_stale():
+    """Warn when the built extension predates its sources."""
+    import warnings
+
+    d = os.path.join(os.path.dirname(__file__), "_native")
+    try:
+        so = max(
+            os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.startswith("_ahocore") and f.endswith(".so")
+        )
+        src = max(
+            os.path.getmtime(os.path.join(d, f))
+            for f in ("core.cpp", "module.cpp")
+        )
+        if src > so:
+            warnings.warn(
+                "pyahocorasick_tpu native core is older than its sources; "
+                "run `make -C pyahocorasick_tpu/_native`",
+                RuntimeWarning,
+            )
+    except (OSError, ValueError):
+        pass
 
 
 def available() -> bool:
@@ -209,6 +235,18 @@ def scan_emit(compiled, cls: np.ndarray, state: int = 0, base: int = 0):
         n,
     )
     return pos, pid, int(fin)
+
+
+def resolve_states(compiled, cls: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """States at sparse positions via <=H host transitions each (halo
+    property); cls must include any needed preceding context."""
+    ext = _load()
+    cls = np.ascontiguousarray(cls, dtype=np.int32)
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    out = np.empty(pos.size, np.int32)
+    H = max(int(compiled.longest_word), 1)
+    ext.resolve_states(compiled.delta, compiled.num_classes, cls, pos, H, out)
+    return out
 
 
 def iter_long_scan(compiled, cls: np.ndarray, end: int, state_tuple, cap=None):

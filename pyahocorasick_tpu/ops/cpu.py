@@ -102,6 +102,31 @@ def emit_matches(compiled: CompiledAutomaton, states: np.ndarray, base: int = 0)
     return positions, pids
 
 
+def expand_matches(
+    compiled: CompiledAutomaton, positions: np.ndarray, states_at: np.ndarray
+):
+    """CSR-expand matches given sparse (position, state) pairs (positions
+    ascending).  Same output contract as emit_matches."""
+    counts = compiled.match_count[states_at].astype(np.int64)
+    keep = counts > 0
+    if not keep.all():
+        positions, states_at, counts = (
+            positions[keep],
+            states_at[keep],
+            counts[keep],
+        )
+    if positions.size == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    starts = compiled.out_offsets[states_at]
+    total = int(counts.sum())
+    cum = np.zeros(positions.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=cum[1:])
+    flat = np.repeat(starts - cum, counts) + np.arange(total, dtype=np.int64)
+    pids = compiled.out_ids[flat].astype(np.int64)
+    out_pos = np.repeat(positions, counts)
+    return out_pos, pids
+
+
 def count_matches(compiled: CompiledAutomaton, states: np.ndarray) -> np.ndarray:
     """Per-pattern match counts from a state sequence (numpy reference for the
     device counts kernel)."""

@@ -82,6 +82,116 @@ def _round_up_pow2(x: int, floor: int = 1) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _signed_delta_flat(compiled: CompiledAutomaton):
+    """Device transition table with the has-match flag packed in the sign bit
+    of each entry: one gather yields both next state and match flag."""
+    cache = compiled._cache
+    if "delta_signed_dev" not in cache:
+        has_match = compiled.match_count > 0  # per TARGET state
+        signed = compiled.delta | (
+            has_match[compiled.delta].astype(np.int32) << 31
+        )
+        cache["delta_signed_dev"] = jnp.asarray(signed.reshape(-1))
+    return cache["delta_signed_dev"]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "H", "B"))
+def _blocked_scan_signed_jit(delta_signed_flat, cls_tl, K: int, H: int, B: int):
+    """Scan over the sign-packed table; returns [B, L] signed states (sign
+    bit = match flag).  Kept as a plain single scan with ys shaped like xs —
+    other shapes hang the remote TPU compiler (see PLAN.md)."""
+    L = cls_tl.shape[1]
+
+    def step(states, cls_t):
+        nxt = delta_signed_flat[(states & 0x7FFFFFFF) * K + cls_t]
+        return nxt, nxt
+
+    init = jnp.zeros((L,), dtype=jnp.int32)
+    _, seq = jax.lax.scan(step, init, cls_tl)
+    return seq[H:]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pack_flags_jit(states_signed):
+    """[B, L] signed states -> [B, L//32] uint32 lane-packed match flags
+    (separate dispatch: pure elementwise/reduce program)."""
+    B, L = states_signed.shape
+    flags = (states_signed < 0).astype(jnp.uint32).reshape(B, L // 32, 32)
+    pows = jnp.ones((1,), jnp.uint32) << jax.lax.broadcasted_iota(
+        jnp.uint32, (1, 1, 32), 2
+    )
+    return (flags * pows).sum(axis=2, dtype=jnp.uint32)
+
+
+def _blocked_flags(delta_signed_flat, cls_tl_dev, K: int, H: int, B: int):
+    states = _blocked_scan_signed_jit(delta_signed_flat, cls_tl_dev, K, H, B)
+    return _pack_flags_jit(states)
+
+
+def prepare_scan_input(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: np.ndarray | None = None,
+    block: int | None = None,
+):
+    """Host windowing into the [H+B, Lp] class matrix (shared by the scan
+    kernels); returns (cls_tl, B)."""
+    N = int(cls.size)
+    H = max(int(compiled.longest_word), 1)
+    B = block or choose_block(N, H)
+    B = max(B, H)
+    L = -(-N // B)
+    Lp = max(_round_up_pow2(L), 32)
+
+    ext = np.zeros(H + Lp * B, dtype=np.int32)
+    if halo is not None and halo.size:
+        h = halo[-H:]
+        ext[H - h.size : H] = h
+    ext[H : H + N] = cls
+    win = np.lib.stride_tricks.sliding_window_view(ext, H + B)[::B][:Lp]
+    return np.ascontiguousarray(win.T), B
+
+
+def matched_positions_jax(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: np.ndarray | None = None,
+    block: int | None = None,
+    staged=None,
+) -> np.ndarray:
+    """Sorted positions (int64) where at least one match ends, computed with
+    scan-only device cost (flags ride the transition entries' sign bit).
+    ``staged`` may carry a pre-transferred (cls_tl_device, B) pair."""
+    N = int(cls.size)
+    if N == 0:
+        return np.empty(0, dtype=np.int64)
+    H = max(int(compiled.longest_word), 1)
+    if staged is None:
+        cls_tl, B = prepare_scan_input(compiled, cls, halo, block)
+        cls_tl_dev = jnp.asarray(cls_tl)
+    else:
+        cls_tl_dev, B = staged
+
+    packed = np.asarray(
+        _blocked_flags(
+            _signed_delta_flat(compiled), cls_tl_dev, compiled.num_classes, H, B
+        )
+    )  # [B, Lp//32] uint32
+
+    # sparse unpack: only words with set bits are expanded
+    t_idx, w_idx = np.nonzero(packed)
+    if t_idx.size == 0:
+        return np.empty(0, dtype=np.int64)
+    words = packed[t_idx, w_idx]
+    bits = (words[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    rows, lanes_lo = np.nonzero(bits)
+    lanes = w_idx[rows].astype(np.int64) * 32 + lanes_lo
+    positions = lanes * B + t_idx[rows]
+    positions = positions[positions < N]
+    positions.sort(kind="stable")
+    return positions
+
+
 def choose_block(N: int, H: int) -> int:
     """Pick a block length: bounded halo overhead, enough lanes to fill the
     vector units, bounded step count."""

@@ -75,24 +75,17 @@ def _device_stride2(compiled: CompiledAutomaton):
     return cache["stride2_dev"]
 
 
-def count_total_stride2(
+def prepare_stride2_input(
     compiled: CompiledAutomaton,
     cls: np.ndarray,
     halo: np.ndarray | None = None,
     block: int | None = None,
 ):
-    """Total match count over the haystack with the stride-2 engine, or None
-    when the packed table is infeasible for this automaton."""
-    import jax
-    import jax.numpy as jnp
+    """Host-side windowing into the pair-class matrix [steps, Lp].
 
-    dev = _device_stride2(compiled)
-    if dev is None:
-        return None
-
+    The dtype is minimized (uint8/uint16 when K^2 allows) to cut the
+    host->device transfer; the kernel widens on device."""
     N = int(cls.size)
-    if N == 0:
-        return 0
     K = compiled.num_classes
     H = max(int(compiled.longest_word), 1)
     H += H & 1  # even halo so pairs align
@@ -104,23 +97,53 @@ def count_total_stride2(
     L = -(-N // B)
     Lp = _round_up_pow2(L)
 
-    ext = np.zeros(H + Lp * B, dtype=np.int64)
+    ext = np.zeros(H + Lp * B, dtype=np.int32)
     if halo is not None and halo.size:
         h = halo[-H:]
         ext[H - h.size : H] = h
     ext[H : H + N] = cls
-    # tail padding must not create phantom matches: class 0 transitions reach
-    # only root, whose match_count is 0, so zero-padding is safe — but only
-    # positions < N may contribute; root contributes nothing so it's exact.
+    # tail padding cannot create phantom matches: class-0 transitions only
+    # reach root, whose match count is 0.
     win = np.lib.stride_tricks.sliding_window_view(ext, H + B)[::B][:Lp]
-    pairs = win[:, 0::2] * K + win[:, 1::2]  # [Lp, (H+B)/2]
-    cls2_tl = np.ascontiguousarray(pairs.T).astype(np.int32)  # [(H+B)/2, Lp]
+    pairs = win[:, 0::2].astype(np.int32) * K + win[:, 1::2]
+    K2 = K * K
+    dtype = np.uint8 if K2 <= 256 else (np.uint16 if K2 <= 65536 else np.int32)
+    cls2_tl = np.ascontiguousarray(pairs.T).astype(dtype)  # [(H+B)/2, Lp]
+    return cls2_tl, H // 2
+
+
+def count_total_stride2(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: np.ndarray | None = None,
+    block: int | None = None,
+    device_input=None,
+):
+    """Total match count over the haystack with the stride-2 engine, or None
+    when the packed table is infeasible for this automaton.
+
+    ``device_input`` may carry a pre-staged (cls2_tl_device, H2) pair (see
+    prepare_stride2_input) so repeated scans skip windowing + transfer."""
+    import jax.numpy as jnp
+
+    dev = _device_stride2(compiled)
+    if dev is None:
+        return None
+    if int(cls.size) == 0 and device_input is None:
+        return 0
+
+    K = compiled.num_classes
+    if device_input is None:
+        cls2_tl, H2 = prepare_stride2_input(compiled, cls, halo, block)
+        cls2_dev = jnp.asarray(cls2_tl)
+    else:
+        cls2_dev, H2 = device_input
 
     out = _stride2_count_jit(
         dev["table_flat"],
-        jnp.asarray(cls2_tl),
+        cls2_dev,
         K * K,
-        H // 2,
+        H2,
         dev["state_bits"],
         dev["state_mask"],
     )
@@ -139,7 +162,7 @@ def _get_stride2_fns():
         L = cls2_halo.shape[1]
 
         def step(s, c2):
-            return table_flat[s * K2 + c2] & state_mask, ()
+            return table_flat[s * K2 + c2.astype(jnp.int32)] & state_mask, ()
 
         fin, _ = jax.lax.scan(step, jnp.zeros((L,), jnp.int32), cls2_halo)
         return fin
@@ -150,7 +173,7 @@ def _get_stride2_fns():
     def count(table_flat, cls2_body, init_states, K2, state_bits, state_mask):
         def step(carry, c2):
             s, acc = carry
-            e = table_flat[s * K2 + c2]
+            e = table_flat[s * K2 + c2.astype(jnp.int32)]
             return (e & state_mask, acc + (e >> state_bits)), ()
 
         (s_f, acc), _ = jax.lax.scan(

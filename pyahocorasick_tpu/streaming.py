@@ -51,8 +51,7 @@ def iter_matches_chunks(automaton, chunks: Iterable) -> Iterator[Tuple[int, obje
     for chunk in chunks:
         letters = automaton._marshal_haystack(chunk)
         cls = compiled.classes_of(letters).astype(np.int32)
-        states = engines.scan_states(compiled, cls, halo)
-        positions, pids = cpu.emit_matches(compiled, states, base=shift)
+        positions, pids = engines.emit(compiled, cls, halo, base=shift)
         for pos, pid in zip(positions.tolist(), pids.tolist()):
             yield (pos, values[pid])
         halo = np.concatenate([halo, cls])[-H:]
