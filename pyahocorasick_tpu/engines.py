@@ -113,6 +113,11 @@ def emit(
                         np.empty(0, dtype=np.int64),
                     )
                 H = max(int(compiled.longest_word), 1)
+                # dense-match texts: window re-resolution would cost ~H per
+                # position, so switch to full state materialization instead
+                if positions.size * max(H, 1) > 4 * N:
+                    states = scan_states(compiled, cls, halo)
+                    return cpu.emit_matches(compiled, states, base=base)
                 h = halo[-H:] if halo is not None and halo.size else None
                 if h is not None:
                     ext = np.concatenate([h.astype(np.int32), cls])
