@@ -41,12 +41,14 @@ from .constants import (
 )
 
 
-def load(path, deserializer):
+def load(*args):
     """Load an automaton saved with ``Automaton.save()`` (reference:
     src/custompickle/load/module_automaton_load.c:13-36)."""
     from . import serialization
 
-    return serialization.load_automaton(path, deserializer)
+    if len(args) != 2:
+        raise ValueError("expected exactly two arguments")
+    return serialization.load_automaton(args[0], args[1])
 
 
 __version__ = "0.1.0"

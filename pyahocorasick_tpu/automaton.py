@@ -323,9 +323,9 @@ class Automaton:
                 "some keys and call make_automaton to convert the trie to "
                 "an automaton."
             )
-        letters_len = len(string) if not isinstance(string, (int, float)) else 0
+        letters = self._marshal_haystack(string)  # validates the input type
         s = 0 if start == -1 else int(start)
-        e = letters_len if end == -1 else int(end)
+        e = int(letters.size) if end == -1 else int(end)
         self._ensure_compiled()
         return SearchIter(self, string, s, e, ignore_white_space)
 
@@ -489,13 +489,21 @@ class Automaton:
 
         return serialization.reduce_automaton(self)
 
-    def save(self, path, serializer=None):
+    def save(self, *args):
+        """Streaming save; argument validation mirrors the reference
+        (src/custompickle/pyhelpers.c:8-44)."""
         from . import serialization
 
         if self._store == STORE_ANY:
-            if serializer is None:
+            if len(args) != 2:
                 raise ValueError("expected exactly two arguments")
         else:
-            if serializer is not None:
+            if len(args) != 1:
                 raise ValueError("expected exactly one argument")
+        path = args[0]
+        serializer = args[1] if len(args) == 2 else None
+        if not isinstance(path, str):
+            raise TypeError("the first argument must be a string")
+        if self._store == STORE_ANY and not callable(serializer):
+            raise TypeError("the second argument must be a callable object")
         serialization.save_automaton(self, path, serializer)

@@ -1,6 +1,7 @@
+from . import multihost
 from .sharded import (
     ShardedAutomaton,
     make_mesh,
 )
 
-__all__ = ["ShardedAutomaton", "make_mesh"]
+__all__ = ["ShardedAutomaton", "make_mesh", "multihost"]
