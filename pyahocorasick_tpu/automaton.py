@@ -28,7 +28,6 @@ from .constants import (
     TRIE,
 )
 from .iterators import ItemsIter, SearchIter, SearchIterLong
-from .ops import cpu
 from .trie import Trie
 from .utils import letters_of_haystack, letters_of_key, parse_start_end
 

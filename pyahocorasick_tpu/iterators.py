@@ -26,15 +26,10 @@ import numpy as np
 
 from . import engines
 from .constants import (
-    KEY_SEQUENCE,
-    KEY_STRING,
     MATCH_AT_LEAST_PREFIX,
     MATCH_AT_MOST_PREFIX,
     MATCH_EXACT_LENGTH,
-    STORE_ANY,
 )
-from .ops import cpu
-from .utils import key_from_letters, letters_of_haystack
 
 _INVALIDATED_MSG = (
     "underlaying automaton has changed, iterator is not valid anymore"

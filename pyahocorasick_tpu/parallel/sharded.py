@@ -21,14 +21,13 @@ is embarrassingly SPMD between reductions.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def make_mesh(n_pattern: int = 1, n_data: int | None = None, devices=None) -> Mesh:

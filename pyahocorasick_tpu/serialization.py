@@ -24,12 +24,11 @@ preserves semantics while keeping the wire format small and validatable.
 
 from __future__ import annotations
 
-import io
 import struct
 
 import numpy as np
 
-from .constants import AHOCORASICK, EMPTY, KEY_SEQUENCE, KEY_STRING, STORE_ANY, STORE_INTS, STORE_LENGTH, TRIE
+from .constants import AHOCORASICK, STORE_ANY
 
 PICKLE_MAGIC = b"pyahocorasick-tpu-pickle-01"
 SAVE_MAGIC = b"pyahocorasick_tpu002"

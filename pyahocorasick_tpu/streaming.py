@@ -15,7 +15,6 @@ import numpy as np
 
 from . import engines
 from .constants import AHOCORASICK
-from .ops import cpu
 
 
 def _require_automaton(automaton):
