@@ -468,6 +468,71 @@ int32_t aho_scan_states(const int32_t* delta, int32_t K, const int32_t* cls,
     return s;
 }
 
+// Lane-blocked scan: the same halo decomposition the TPU kernels use, on the
+// host — NLANES independent chains per pass hide DRAM latency (the serial
+// scan is one ~100ns cache miss per character; interleaved lanes overlap
+// them).  Exact by the halo property (see ops/cpu.py).
+void aho_scan_states_blocked(const int32_t* delta, int32_t K, const int32_t* cls,
+                             int64_t n, int32_t H, int32_t* out) {
+    constexpr int64_t NL = 16;
+    if (n < NL * 64) {  // tiny inputs: plain scan
+        int32_t s = 0;
+        for (int64_t i = 0; i < n; i++) {
+            s = delta[(int64_t)s * K + cls[i]];
+            out[i] = s;
+        }
+        return;
+    }
+    if (H < 1) H = 1;
+    int64_t B = (n + NL - 1) / NL;
+    int64_t starts[NL], ends[NL];
+    int32_t st[NL];
+    // halo warmup: lane l starts scanning at starts[l]-H from root
+    for (int64_t l = 0; l < NL; l++) {
+        starts[l] = l * B;
+        ends[l] = std::min(starts[l] + B, n);
+        st[l] = 0;
+    }
+    for (int64_t t = -H; t < 0; t++) {
+        for (int64_t l = 0; l < NL; l++) {
+            int64_t p = starts[l] + t;
+            if (p >= 0 && starts[l] < n)
+                st[l] = delta[(int64_t)st[l] * K + cls[p]];
+        }
+    }
+    for (int64_t t = 0; t < B; t++) {
+        for (int64_t l = 0; l < NL; l++) {
+            int64_t p = starts[l] + t;
+            if (p < ends[l]) {
+                st[l] = delta[(int64_t)st[l] * K + cls[p]];
+                out[p] = st[l];
+            }
+        }
+    }
+}
+
+// Emission from precomputed states (two-pass: cap=0 counts).
+int64_t aho_emit_from_states(const int32_t* match_count,
+                             const int64_t* out_offsets, const int32_t* out_ids,
+                             const int32_t* states, int64_t n, int64_t base,
+                             int64_t* out_pos, int32_t* out_pid, int64_t cap) {
+    int64_t written = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t mc = match_count[states[i]];
+        if (mc) {
+            int64_t off = out_offsets[states[i]];
+            for (int32_t j = 0; j < mc; j++) {
+                if (out_pos && written < cap) {
+                    out_pos[written] = base + i;
+                    out_pid[written] = out_ids[off + j];
+                }
+                written++;
+            }
+        }
+    }
+    return written;
+}
+
 // Full match emission in reference order.  Returns the number of matches
 // written (<= cap; call with cap=0/out=null to count).  *final_state is
 // updated for streaming.

@@ -355,6 +355,50 @@ PyObject* m_scan_emit(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     return Py_BuildValue("Li", (long long)n, (int)fin);
 }
 
+PyObject* m_scan_states_blocked(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // delta(i32), K, cls(i32), H, out(i32 w)
+    Py_buffer delta, cls, out;
+    long K = PyLong_AsLong(args[1]);
+    long H = PyLong_AsLong(args[3]);
+    if (PyObject_GetBuffer(args[0], &delta, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (PyObject_GetBuffer(args[2], &cls, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); return NULL; }
+    if (PyObject_GetBuffer(args[4], &out, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&cls); return NULL; }
+    aho_scan_states_blocked((const int32_t*)delta.buf, (int32_t)K,
+                            (const int32_t*)cls.buf, cls.len / 4, (int32_t)H,
+                            (int32_t*)out.buf);
+    PyBuffer_Release(&delta); PyBuffer_Release(&cls); PyBuffer_Release(&out);
+    Py_RETURN_NONE;
+}
+
+PyObject* m_emit_from_states(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // mc(i32), offs(i64), oids(i32), states(i32), base, out_pos|None, out_pid|None, cap
+    Py_buffer mc, offs, oids, st;
+    long long base = PyLong_AsLongLong(args[4]);
+    long long cap = PyLong_AsLongLong(args[7]);
+    if (PyObject_GetBuffer(args[0], &mc, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (PyObject_GetBuffer(args[1], &offs, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&mc); return NULL; }
+    if (PyObject_GetBuffer(args[2], &oids, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&mc); PyBuffer_Release(&offs); return NULL; }
+    if (PyObject_GetBuffer(args[3], &st, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&mc); PyBuffer_Release(&offs); PyBuffer_Release(&oids); return NULL; }
+    int64_t* out_pos = NULL;
+    int32_t* out_pid = NULL;
+    Py_buffer pos_b, pid_b;
+    bool have_out = args[5] != Py_None;
+    if (have_out) {
+        if (PyObject_GetBuffer(args[5], &pos_b, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&mc); PyBuffer_Release(&offs); PyBuffer_Release(&oids); PyBuffer_Release(&st); return NULL; }
+        if (PyObject_GetBuffer(args[6], &pid_b, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&mc); PyBuffer_Release(&offs); PyBuffer_Release(&oids); PyBuffer_Release(&st); PyBuffer_Release(&pos_b); return NULL; }
+        out_pos = (int64_t*)pos_b.buf;
+        out_pid = (int32_t*)pid_b.buf;
+    }
+    int64_t nmatch = aho_emit_from_states(
+        (const int32_t*)mc.buf, (const int64_t*)offs.buf,
+        (const int32_t*)oids.buf, (const int32_t*)st.buf, st.len / 4, base,
+        out_pos, out_pid, cap);
+    PyBuffer_Release(&mc); PyBuffer_Release(&offs); PyBuffer_Release(&oids);
+    PyBuffer_Release(&st);
+    if (have_out) { PyBuffer_Release(&pos_b); PyBuffer_Release(&pid_b); }
+    return PyLong_FromLongLong(nmatch);
+}
+
 PyObject* m_resolve_states(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     // delta(i32), K, cls(i32), pos(i64), H, out(i32 w)
     Py_buffer delta, cls, pos, out;
@@ -425,6 +469,8 @@ PyMethodDef methods[] = {
     {"fill_out_ids", (PyCFunction)(void*)m_fill_out_ids, METH_FASTCALL, ""},
     {"scan_states", (PyCFunction)(void*)m_scan_states, METH_FASTCALL, ""},
     {"scan_emit", (PyCFunction)(void*)m_scan_emit, METH_FASTCALL, ""},
+    {"scan_states_blocked", (PyCFunction)(void*)m_scan_states_blocked, METH_FASTCALL, ""},
+    {"emit_from_states", (PyCFunction)(void*)m_emit_from_states, METH_FASTCALL, ""},
     {"resolve_states", (PyCFunction)(void*)m_resolve_states, METH_FASTCALL, ""},
     {"iter_long_scan", (PyCFunction)(void*)m_iter_long_scan, METH_FASTCALL, ""},
     {NULL, NULL, 0, NULL},

@@ -66,17 +66,22 @@ def scan_states(
 
     from . import native
 
+    if native.available():
+        if N >= native._BLOCKED_MIN:
+            # interleaved-lane host scan: hides DRAM latency
+            return native.scan_states_blocked(compiled, cls, halo)
+        state = 0
+        if halo is not None and halo.size:
+            H = max(int(compiled.longest_word), 1)
+            hs = native.scan_states(compiled, halo[-H:], 0)
+            state = int(hs[-1]) if hs.size else 0
+        return native.scan_states(compiled, cls, state)
+
     state = 0
     if halo is not None and halo.size:
         H = max(int(compiled.longest_word), 1)
-        h = halo[-H:]
-        if native.available():
-            hs = native.scan_states(compiled, h, 0)
-        else:
-            hs = cpu.scan_states_seq(compiled, h, 0)
+        hs = cpu.scan_states_seq(compiled, halo[-H:], 0)
         state = int(hs[-1]) if hs.size else 0
-    if native.available():
-        return native.scan_states(compiled, cls, state)
     return cpu.scan_states_seq(compiled, cls, state)
 
 

@@ -201,6 +201,58 @@ def scan_states(compiled, cls: np.ndarray, state: int = 0) -> np.ndarray:
     return out
 
 
+_BLOCKED_MIN = 4096
+
+
+def scan_states_blocked(compiled, cls: np.ndarray, halo=None) -> np.ndarray:
+    """Interleaved-lane host scan (DRAM-latency hiding); exact via the halo
+    property.  ``halo`` = previously consumed classes (tail kept)."""
+    ext_mod = _load()
+    H = max(int(compiled.longest_word), 1)
+    if halo is not None and halo.size:
+        h = np.ascontiguousarray(halo[-H:], dtype=np.int32)
+        buf = np.concatenate([h, np.ascontiguousarray(cls, np.int32)])
+        out = np.empty(buf.size, np.int32)
+        ext_mod.scan_states_blocked(
+            compiled.delta, compiled.num_classes, buf, H, out
+        )
+        return out[h.size :]
+    cls = np.ascontiguousarray(cls, dtype=np.int32)
+    out = np.empty(cls.size, np.int32)
+    ext_mod.scan_states_blocked(compiled.delta, compiled.num_classes, cls, H, out)
+    return out
+
+
+def emit_from_states(compiled, states: np.ndarray, base: int = 0):
+    """(positions, pids) from precomputed states, reference order."""
+    ext = _load()
+    states = np.ascontiguousarray(states, np.int32)
+    n = ext.emit_from_states(
+        compiled.match_count,
+        compiled.out_offsets,
+        compiled.out_ids,
+        states,
+        base,
+        None,
+        None,
+        0,
+    )
+    pos = np.empty(n, np.int64)
+    pid = np.empty(n, np.int32)
+    if n:
+        ext.emit_from_states(
+            compiled.match_count,
+            compiled.out_offsets,
+            compiled.out_ids,
+            states,
+            base,
+            pos,
+            pid,
+            n,
+        )
+    return pos, pid
+
+
 def scan_emit(compiled, cls: np.ndarray, state: int = 0, base: int = 0):
     """Returns (positions i64[], pids i32[], final_state) in reference order."""
     ext = _load()
