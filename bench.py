@@ -14,6 +14,7 @@ Env knobs: BENCH_PATTERNS, BENCH_CHARS, BENCH_REPS, BENCH_BLOCK.
 
 import json
 import os
+import signal
 import string
 import sys
 import time
@@ -21,6 +22,18 @@ import time
 import numpy as np
 
 REF_BYTES_PER_SEC = 1_000_000 / 0.279
+
+# the TPU tunnel can wedge indefinitely (see PLAN.md); give the device path a
+# deadline and fall back to the host C++ engine so a number is always recorded
+DEVICE_DEADLINE_S = int(os.environ.get("BENCH_DEVICE_DEADLINE", 900))
+
+
+class _DeviceTimeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _DeviceTimeout()
 
 
 def log(*a):
@@ -64,10 +77,64 @@ def main():
     hay = letters[rng.integers(0, letters.size, n_chars)]
     cls = compiled.classes_of(hay.astype(np.uint32)).astype(np.int32)
 
-    import jax
-    import jax.numpy as jnp
+    def host_fallback(reason):
+        """Device unreachable: record the host C++ engine number instead."""
+        log(f"DEVICE PATH FAILED ({reason}); falling back to host engine")
+        from pyahocorasick_tpu import native
 
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}, mode={mode}")
+        times = []
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            states = native.scan_states_blocked(compiled, cls)
+            np.bincount(
+                compiled.match_count[states], minlength=2
+            )  # touch results
+            times.append(time.time() - t0)
+        best = min(times)
+        gbps = n_chars / best / 1e9
+        log(f"host blocked scan: {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
+        print(
+            json.dumps(
+                {
+                    "metric": "scan_GBps_100k_patterns_host_fallback",
+                    "value": round(gbps, 4),
+                    "unit": "GB/s",
+                    "vs_baseline": round(n_chars / best / REF_BYTES_PER_SEC, 2),
+                }
+            )
+        )
+        sys.exit(0)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(DEVICE_DEADLINE_S)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        log(
+            f"backend: {jax.default_backend()}, devices: {jax.devices()}, mode={mode}"
+        )
+        jnp.ones((4,)).sum().block_until_ready()  # cheap liveness check
+        np.asarray(jnp.ones((4,)).sum())
+    except (_DeviceTimeout, Exception) as e:  # noqa: BLE001
+        signal.alarm(0)
+        host_fallback(repr(e) if not isinstance(e, _DeviceTimeout) else "timeout")
+
+    try:
+        _run_device_modes(
+            mode, compiled, cls, n_chars, reps, host_fallback, jnp
+        )
+    except _DeviceTimeout:
+        signal.alarm(0)
+        host_fallback("timeout mid-run")
+    finally:
+        signal.alarm(0)
+
+
+def _run_device_modes(mode, compiled, cls, n_chars, reps, host_fallback, jnp):
+    import time
+
+    from pyahocorasick_tpu.ops import scan as jax_scan
 
     if mode == "dna":
         from pyahocorasick_tpu.ops import stride
