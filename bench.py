@@ -273,5 +273,83 @@ def _run_device_modes(mode, compiled, cls, n_chars, reps, host_fallback, jnp):
     )
 
 
+def supervised_main():
+    """Run the device benchmark in a child process with a hard deadline; on
+    timeout or crash, fall back to the host-engine metric in the parent.
+    (An in-process SIGALRM cannot interrupt a wedged device call.)"""
+    import subprocess
+
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+        return
+
+    env = dict(os.environ, BENCH_CHILD="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            timeout=DEVICE_DEADLINE_S,
+            capture_output=True,
+            text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("{")), None
+        )
+        if proc.returncode == 0 and line:
+            print(line)
+            return
+        log(f"device child failed (rc={proc.returncode}); host fallback")
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            sys.stderr.write(
+                e.stderr if isinstance(e.stderr, str) else e.stderr.decode()
+            )
+        log(f"device child exceeded {DEVICE_DEADLINE_S}s; host fallback")
+
+    _host_fallback_standalone()
+
+
+def _host_fallback_standalone():
+    """Rebuild on the host and report the blocked-scan metric."""
+    n_patterns = int(os.environ.get("BENCH_PATTERNS", 100_000))
+    n_chars = int(os.environ.get("BENCH_CHARS", 1 << 25))
+    reps = int(os.environ.get("BENCH_REPS", 5))
+
+    os.environ["PYAHOCORASICK_TPU_ENGINE"] = "seq"
+    import pyahocorasick_tpu as ahocorasick
+    from pyahocorasick_tpu import native
+
+    rng = np.random.default_rng(42)
+    letters = np.frombuffer(string.ascii_letters.encode(), dtype=np.uint8)
+    lengths = rng.integers(3, 33, n_patterns)
+    A = ahocorasick.Automaton()
+    for n in lengths:
+        A.add_word(bytes(letters[rng.integers(0, letters.size, n)]).decode(), 1)
+    A.make_automaton()
+    compiled = A._compiled
+    hay = letters[rng.integers(0, letters.size, n_chars)]
+    cls = compiled.classes_of(hay.astype(np.uint32)).astype(np.int32)
+
+    times = []
+    for _ in range(max(reps, 1)):
+        t0 = time.time()
+        native.scan_states_blocked(compiled, cls)
+        times.append(time.time() - t0)
+    best = min(times)
+    gbps = n_chars / best / 1e9
+    log(f"host blocked scan: {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
+    print(
+        json.dumps(
+            {
+                "metric": "scan_GBps_100k_patterns_host_fallback",
+                "value": round(gbps, 4),
+                "unit": "GB/s",
+                "vs_baseline": round(n_chars / best / REF_BYTES_PER_SEC, 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    supervised_main()
