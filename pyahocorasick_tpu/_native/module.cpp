@@ -133,6 +133,44 @@ PyObject* m_add_word_buf(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     return r;
 }
 
+PyObject* m_add_words(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // (trie, sequence_of_str) -> (list_of_node_ids, new_count); the whole
+    // loop runs in C so bulk dictionary builds cost ~the reference's add loop
+    Trie* t = get_trie(args[0]);
+    PyObject* seq = PySequence_Fast(args[1], "expected a sequence of strings");
+    if (!seq) return NULL;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    PyObject* ids = PyList_New(n);
+    if (!ids) {
+        Py_DECREF(seq);
+        return NULL;
+    }
+    int64_t new_count = 0;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject* word = PySequence_Fast_GET_ITEM(seq, i);
+        Letters w;
+        if (!w.from_unicode(word)) {
+            Py_DECREF(seq);
+            Py_DECREF(ids);
+            return NULL;
+        }
+        PyObject* r = guarded([&]() {
+            int64_t node =
+                w.len ? aho_trie_add_word(t, w.data, w.len) : -1;
+            if (w.len && t->last_new) new_count++;
+            return PyLong_FromLongLong(node);
+        });
+        if (!r) {
+            Py_DECREF(seq);
+            Py_DECREF(ids);
+            return NULL;
+        }
+        PyList_SET_ITEM(ids, i, r);
+    }
+    Py_DECREF(seq);
+    return Py_BuildValue("NL", ids, (long long)new_count);
+}
+
 PyObject* m_find(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     Trie* t = get_trie(args[0]);
     Letters w;
@@ -452,6 +490,7 @@ PyMethodDef methods[] = {
     {"has_root", (PyCFunction)m_has_root, METH_O, ""},
     {"add_word", (PyCFunction)(void*)m_add_word, METH_FASTCALL, ""},
     {"add_word_buf", (PyCFunction)(void*)m_add_word_buf, METH_FASTCALL, ""},
+    {"add_words", (PyCFunction)(void*)m_add_words, METH_FASTCALL, ""},
     {"find", (PyCFunction)(void*)m_find, METH_FASTCALL, ""},
     {"find_buf", (PyCFunction)(void*)m_find_buf, METH_FASTCALL, ""},
     {"remove_word", (PyCFunction)(void*)m_remove_word, METH_FASTCALL, ""},

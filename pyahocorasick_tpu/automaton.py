@@ -203,6 +203,69 @@ class Automaton:
             return True
         return False
 
+    def add_words(self, keys, values=None):
+        """Bulk insertion (TPU-native extension; no reference counterpart).
+
+        ``keys`` is a sequence of keys; ``values`` an optional equal-length
+        sequence (required for STORE_ANY).  Per-element semantics match
+        add_word (replace on duplicates).  Returns the number of new words.
+        The whole trie walk runs in the native core for str keys, making
+        million-word dictionary builds cost what the reference's C loop does.
+        """
+        from . import native
+
+        keys = list(keys)
+        if values is not None:
+            values = list(values)
+            if len(values) != len(keys):
+                raise ValueError("keys and values must have equal length")
+        if self._store == STORE_ANY and values is None:
+            raise ValueError("A value object is required as second argument.")
+
+        fast = (
+            native.available()
+            and self._key_type == KEY_STRING
+            and isinstance(self._trie, native.NativeTrie)
+            and not (self._store == STORE_INTS and values is None)
+            and all(isinstance(k, str) for k in keys)
+        )
+        if not fast:
+            new = 0
+            for i, k in enumerate(keys):
+                args = (values[i],) if values is not None else ()
+                if self.add_word(k, *args):
+                    new += 1
+            return new
+
+        ids, new_count = self._trie._ext.add_words(self._trie._h, keys)
+        vdict = self._trie._values
+        setv = self._trie._ext.set_value
+        h = self._trie._h
+        longest = self._longest_word
+        import operator
+
+        for i, nid in enumerate(ids):
+            if nid < 0:  # empty key
+                continue
+            if self._store == STORE_LENGTH:
+                value = len(keys[i])
+            elif self._store == STORE_INTS:
+                value = operator.index(values[i])
+            else:
+                value = values[i]
+            vdict[nid] = value
+            setv(h, nid, nid)
+            if len(keys[i]) > longest:
+                longest = len(keys[i])
+        if any(len(k) > 0 for k in keys):
+            self._kind = TRIE
+            self._compiled = None
+        if new_count:
+            self._version += 1
+            self._count += new_count
+            self._longest_word = longest
+        return int(new_count)
+
     def remove_word(self, key):
         """(src/Automaton.c:302-350, src/trie.c:66-136)"""
         key, wordlen = self._marshal_key(key)
