@@ -352,9 +352,12 @@ PyObject* m_scan_states(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     if (PyObject_GetBuffer(args[0], &delta, PyBUF_C_CONTIGUOUS)) return NULL;
     if (PyObject_GetBuffer(args[2], &cls, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); return NULL; }
     if (PyObject_GetBuffer(args[4], &out, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&cls); return NULL; }
-    int32_t fin = aho_scan_states((const int32_t*)delta.buf, (int32_t)K,
-                                  (const int32_t*)cls.buf, cls.len / 4,
-                                  (int32_t)s0, (int32_t*)out.buf);
+    int32_t fin;
+    Py_BEGIN_ALLOW_THREADS
+    fin = aho_scan_states((const int32_t*)delta.buf, (int32_t)K,
+                          (const int32_t*)cls.buf, cls.len / 4, (int32_t)s0,
+                          (int32_t*)out.buf);
+    Py_END_ALLOW_THREADS
     PyBuffer_Release(&delta); PyBuffer_Release(&cls); PyBuffer_Release(&out);
     return PyLong_FromLong(fin);
 }
@@ -382,11 +385,14 @@ PyObject* m_scan_emit(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
         out_pid = (int32_t*)pid_b.buf;
     }
     int32_t fin = 0;
-    int64_t n = aho_scan_emit((const int32_t*)delta.buf, (int32_t)K,
-                              (const int32_t*)mc.buf, (const int64_t*)offs.buf,
-                              (const int32_t*)oids.buf, (const int32_t*)cls.buf,
-                              cls.len / 4, (int32_t)s0, base, out_pos, out_pid,
-                              cap, &fin);
+    int64_t n;
+    Py_BEGIN_ALLOW_THREADS
+    n = aho_scan_emit((const int32_t*)delta.buf, (int32_t)K,
+                      (const int32_t*)mc.buf, (const int64_t*)offs.buf,
+                      (const int32_t*)oids.buf, (const int32_t*)cls.buf,
+                      cls.len / 4, (int32_t)s0, base, out_pos, out_pid,
+                      cap, &fin);
+    Py_END_ALLOW_THREADS
     PyBuffer_Release(&delta); PyBuffer_Release(&mc); PyBuffer_Release(&offs);
     PyBuffer_Release(&oids); PyBuffer_Release(&cls);
     if (have_out) { PyBuffer_Release(&pos_b); PyBuffer_Release(&pid_b); }
@@ -401,9 +407,11 @@ PyObject* m_scan_states_blocked(PyObject*, PyObject* const* args, Py_ssize_t nar
     if (PyObject_GetBuffer(args[0], &delta, PyBUF_C_CONTIGUOUS)) return NULL;
     if (PyObject_GetBuffer(args[2], &cls, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); return NULL; }
     if (PyObject_GetBuffer(args[4], &out, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&cls); return NULL; }
+    Py_BEGIN_ALLOW_THREADS
     aho_scan_states_blocked((const int32_t*)delta.buf, (int32_t)K,
                             (const int32_t*)cls.buf, cls.len / 4, (int32_t)H,
                             (int32_t*)out.buf);
+    Py_END_ALLOW_THREADS
     PyBuffer_Release(&delta); PyBuffer_Release(&cls); PyBuffer_Release(&out);
     Py_RETURN_NONE;
 }
@@ -427,10 +435,13 @@ PyObject* m_emit_from_states(PyObject*, PyObject* const* args, Py_ssize_t nargs)
         out_pos = (int64_t*)pos_b.buf;
         out_pid = (int32_t*)pid_b.buf;
     }
-    int64_t nmatch = aho_emit_from_states(
+    int64_t nmatch;
+    Py_BEGIN_ALLOW_THREADS
+    nmatch = aho_emit_from_states(
         (const int32_t*)mc.buf, (const int64_t*)offs.buf,
         (const int32_t*)oids.buf, (const int32_t*)st.buf, st.len / 4, base,
         out_pos, out_pid, cap);
+    Py_END_ALLOW_THREADS
     PyBuffer_Release(&mc); PyBuffer_Release(&offs); PyBuffer_Release(&oids);
     PyBuffer_Release(&st);
     if (have_out) { PyBuffer_Release(&pos_b); PyBuffer_Release(&pid_b); }
@@ -446,10 +457,12 @@ PyObject* m_resolve_states(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     if (PyObject_GetBuffer(args[2], &cls, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); return NULL; }
     if (PyObject_GetBuffer(args[3], &pos, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); PyBuffer_Release(&cls); return NULL; }
     if (PyObject_GetBuffer(args[5], &out, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&cls); PyBuffer_Release(&pos); return NULL; }
+    Py_BEGIN_ALLOW_THREADS
     aho_resolve_states((const int32_t*)delta.buf, (int32_t)K,
                        (const int32_t*)cls.buf, cls.len / 4,
                        (const int64_t*)pos.buf, pos.len / 8, (int32_t)H,
                        (int32_t*)out.buf);
+    Py_END_ALLOW_THREADS
     PyBuffer_Release(&delta); PyBuffer_Release(&cls); PyBuffer_Release(&pos);
     PyBuffer_Release(&out);
     Py_RETURN_NONE;
@@ -473,10 +486,13 @@ PyObject* m_iter_long_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     if (PyObject_GetBuffer(args[5], &cls, PyBUF_C_CONTIGUOUS)) { PyBuffer_Release(&delta); PyBuffer_Release(&dep); PyBuffer_Release(&wid); PyBuffer_Release(&fl); return NULL; }
     if (PyObject_GetBuffer(args[8], &pos_b, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&dep); PyBuffer_Release(&wid); PyBuffer_Release(&fl); PyBuffer_Release(&cls); return NULL; }
     if (PyObject_GetBuffer(args[9], &pid_b, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&delta); PyBuffer_Release(&dep); PyBuffer_Release(&wid); PyBuffer_Release(&fl); PyBuffer_Release(&cls); PyBuffer_Release(&pos_b); return NULL; }
-    int64_t n = aho_iter_long_scan(
+    int64_t n;
+    Py_BEGIN_ALLOW_THREADS
+    n = aho_iter_long_scan(
         (const int32_t*)delta.buf, (int32_t)K, (const int32_t*)dep.buf,
         (const int32_t*)wid.buf, (const int32_t*)fl.buf, (const int32_t*)cls.buf,
         end, &st, (int64_t*)pos_b.buf, (int32_t*)pid_b.buf, cap);
+    Py_END_ALLOW_THREADS
     PyBuffer_Release(&delta); PyBuffer_Release(&dep); PyBuffer_Release(&wid);
     PyBuffer_Release(&fl); PyBuffer_Release(&cls); PyBuffer_Release(&pos_b);
     PyBuffer_Release(&pid_b);
