@@ -68,8 +68,8 @@ def scan_states(
 
     if native.available():
         if N >= native._BLOCKED_MIN:
-            # interleaved-lane host scan: hides DRAM latency
-            return native.scan_states_blocked(compiled, cls, halo)
+            # interleaved-lane host scan (multi-threaded for big inputs)
+            return native.scan_states_parallel(compiled, cls, halo)
         state = 0
         if halo is not None and halo.size:
             H = max(int(compiled.longest_word), 1)

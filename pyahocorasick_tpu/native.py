@@ -223,6 +223,54 @@ def scan_states_blocked(compiled, cls: np.ndarray, halo=None) -> np.ndarray:
     return out
 
 
+def scan_states_parallel(
+    compiled, cls: np.ndarray, halo=None, threads: int | None = None
+) -> np.ndarray:
+    """Multi-threaded blocked scan: slices share nothing (each thread's slice
+    carries its own exact halo) and the C loops release the GIL, so this
+    scales with cores."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    if threads is None:
+        # opt-in: on memory-starved hosts extra threads can thrash the
+        # miss-parallelism the 16 interleaved lanes already use
+        threads = int(_os.environ.get("PYAHOCORASICK_TPU_HOST_THREADS", 1))
+    N = int(cls.size)
+    if threads <= 1 or N < 1 << 18:
+        return scan_states_blocked(compiled, cls, halo)
+
+    ext_mod = _load()
+    H = max(int(compiled.longest_word), 1)
+    if halo is not None and halo.size:
+        h = np.ascontiguousarray(halo[-H:], dtype=np.int32)
+        buf = np.concatenate([h, np.ascontiguousarray(cls, np.int32)])
+        off = h.size
+    else:
+        buf = np.ascontiguousarray(cls, dtype=np.int32)
+        off = 0
+    total = buf.size
+    out = np.empty(total, np.int32)
+    per = -(-N // threads)
+
+    def work(i):
+        lo = off + i * per          # absolute slice start in buf
+        hi = min(lo + per, total)
+        if hi <= lo:
+            return
+        start = max(lo - H, 0)
+        seg = buf[start:hi]
+        seg_out = np.empty(seg.size, np.int32)
+        ext_mod.scan_states_blocked(
+            compiled.delta, compiled.num_classes, seg, H, seg_out
+        )
+        out[lo:hi] = seg_out[lo - start :]
+
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        list(pool.map(work, range(threads)))
+    return out[off:]
+
+
 def emit_from_states(compiled, states: np.ndarray, base: int = 0):
     """(positions, pids) from precomputed states, reference order."""
     ext = _load()
