@@ -47,7 +47,6 @@ def main():
     mode = os.environ.get("BENCH_MODE", "counts")  # counts | scan | dna
 
     import pyahocorasick_tpu as ahocorasick
-    from pyahocorasick_tpu.ops import scan as jax_scan
 
     rng = np.random.default_rng(42)
     if mode == "dna":
