@@ -282,29 +282,39 @@ def supervised_main():
         main()
         return
 
+    import tempfile
+
     env = dict(os.environ, BENCH_CHILD="1")
-    try:
-        proc = subprocess.run(
+    out_path = tempfile.mktemp(prefix="bench_child_")
+    ok = False
+    with open(out_path, "w") as out_f:
+        # file-based stdout + its own process group: a killed child's
+        # grandchildren can hold capture pipes open forever otherwise
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
-            timeout=DEVICE_DEADLINE_S,
-            capture_output=True,
-            text=True,
+            stdout=out_f,
+            stderr=None,  # inherit
+            start_new_session=True,
         )
-        sys.stderr.write(proc.stderr)
-        line = next(
-            (l for l in proc.stdout.splitlines() if l.startswith("{")), None
-        )
-        if proc.returncode == 0 and line:
-            print(line)
+        try:
+            rc = proc.wait(timeout=DEVICE_DEADLINE_S)
+            ok = rc == 0
+            if not ok:
+                log(f"device child failed (rc={rc}); host fallback")
+        except subprocess.TimeoutExpired:
+            log(f"device child exceeded {DEVICE_DEADLINE_S}s; host fallback")
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
+    if ok:
+        with open(out_path) as f:
+            line = next((l for l in f if l.startswith("{")), None)
+        if line:
+            print(line.strip())
             return
-        log(f"device child failed (rc={proc.returncode}); host fallback")
-    except subprocess.TimeoutExpired as e:
-        if e.stderr:
-            sys.stderr.write(
-                e.stderr if isinstance(e.stderr, str) else e.stderr.decode()
-            )
-        log(f"device child exceeded {DEVICE_DEADLINE_S}s; host fallback")
+        log("device child produced no result; host fallback")
 
     _host_fallback_standalone()
 
