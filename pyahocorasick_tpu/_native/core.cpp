@@ -182,7 +182,25 @@ int64_t aho_trie_add_word(void* h, const uint32_t* w, int64_t n) {
     Node& node = t->nodes[cur];
     t->last_new = !node.eow;
     node.eow = true;
+    // slot convention: a node's value slot is its own id (Python keeps the
+    // actual objects in a dict keyed by it); setting it here saves the
+    // binding layer a second set_value call per insertion
+    node.value = cur;
     return cur;
+}
+
+// Exact lookup that also requires end-of-word: returns the node id when the
+// key is a stored word, else -1.  One call serves get()/exists()
+// (reference src/Automaton.c:420-457 + trie_find, src/trie.c:139-155).
+int64_t aho_trie_find_eow(void* h, const uint32_t* w, int64_t n) {
+    Trie* t = static_cast<Trie*>(h);
+    if (!t->has_root) return -1;
+    int32_t cur = 0;
+    for (int64_t i = 0; i < n; i++) {
+        cur = t->nodes[cur].find(w[i]);
+        if (cur < 0) return -1;
+    }
+    return t->nodes[cur].eow ? cur : -1;
 }
 
 int aho_trie_last_new(void* h) { return static_cast<Trie*>(h)->last_new ? 1 : 0; }

@@ -187,6 +187,22 @@ PyObject* m_find_buf(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     return PyLong_FromLongLong(r);
 }
 
+PyObject* m_find_eow(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Letters w;
+    if (!w.from_unicode(args[1])) return NULL;
+    return PyLong_FromLongLong(aho_trie_find_eow(t, w.data, w.len));
+}
+
+PyObject* m_find_eow_buf(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Py_buffer view;
+    if (!get_u32_buffer(args[1], &view)) return NULL;
+    int64_t r = aho_trie_find_eow(t, (const uint32_t*)view.buf, view.len / 4);
+    PyBuffer_Release(&view);
+    return PyLong_FromLongLong(r);
+}
+
 PyObject* m_remove_word(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     Trie* t = get_trie(args[0]);
     Letters w;
@@ -509,6 +525,8 @@ PyMethodDef methods[] = {
     {"add_words", (PyCFunction)(void*)m_add_words, METH_FASTCALL, ""},
     {"find", (PyCFunction)(void*)m_find, METH_FASTCALL, ""},
     {"find_buf", (PyCFunction)(void*)m_find_buf, METH_FASTCALL, ""},
+    {"find_eow", (PyCFunction)(void*)m_find_eow, METH_FASTCALL, ""},
+    {"find_eow_buf", (PyCFunction)(void*)m_find_eow_buf, METH_FASTCALL, ""},
     {"remove_word", (PyCFunction)(void*)m_remove_word, METH_FASTCALL, ""},
     {"remove_word_buf", (PyCFunction)(void*)m_remove_word_buf, METH_FASTCALL, ""},
     {"longest_prefix", (PyCFunction)(void*)m_longest_prefix, METH_FASTCALL, ""},

@@ -71,6 +71,10 @@ class Automaton:
     ``Automaton([store[, key_type]])`` or the internal 7-tuple unpickle form.
     """
 
+    # subclasses that re-define key marshalling (e.g. the bytes build) must
+    # turn off the direct str->native fast paths
+    _fast_str_keys = True
+
     def __init__(self, *args):
         self._trie = _new_trie()
         self._kind = EMPTY
@@ -166,26 +170,47 @@ class Automaton:
 
         return key_from_letters(letters, self._key_type)
 
-    def add_word(self, key, *args):
-        """Add a key; returns True for new words (src/Automaton.c:201-300)."""
-        key, wordlen = self._marshal_key(key)
-
+    def _value_for(self, args, wordlen):
+        """Store-specific value dispatch (src/Automaton.c:216-252)."""
         if self._store == STORE_ANY:
             if not args:
                 raise ValueError("A value object is required as second argument.")
-            value = args[0]
-        elif self._store == STORE_INTS:
+            return args[0]
+        if self._store == STORE_INTS:
             if args:
                 try:
-                    value = args[0].__index__()
+                    return args[0].__index__()
                 except AttributeError:
                     raise TypeError(
                         "An integer value is required as second argument."
                     ) from None
-            else:
-                value = self._count + 1
-        else:  # STORE_LENGTH
-            value = wordlen
+            return self._count + 1
+        return wordlen  # STORE_LENGTH
+
+    def add_word(self, key, *args):
+        """Add a key; returns True for new words (src/Automaton.c:201-300)."""
+        # fast path: native trie + str key -> one extension call, no NodeRef
+        trie = self._trie
+        ext = getattr(trie, "_ext", None) if self._fast_str_keys else None
+        if ext is not None and self._key_type == KEY_STRING and type(key) is str:
+            wordlen = len(key)
+            value = self._value_for(args, wordlen)
+            if wordlen == 0:
+                return False
+            nid, new_word = ext.add_word(trie._h, key)
+            trie._values[nid] = value
+            self._kind = TRIE
+            self._compiled = None
+            if new_word:
+                self._version += 1
+                self._count += 1
+                if wordlen > self._longest_word:
+                    self._longest_word = wordlen
+                return True
+            return False
+
+        key, wordlen = self._marshal_key(key)
+        value = self._value_for(args, wordlen)
 
         if wordlen == 0:
             return False
@@ -239,8 +264,6 @@ class Automaton:
 
         ids, new_count = self._trie._ext.add_words(self._trie._h, keys)
         vdict = self._trie._values
-        setv = self._trie._ext.set_value
-        h = self._trie._h
         longest = self._longest_word
         import operator
 
@@ -254,7 +277,6 @@ class Automaton:
             else:
                 value = values[i]
             vdict[nid] = value
-            setv(h, nid, nid)
             if len(keys[i]) > longest:
                 longest = len(keys[i])
         if any(len(k) > 0 for k in keys):
@@ -308,7 +330,12 @@ class Automaton:
         return self._count
 
     def exists(self, key):
-        node = self._trie.find(self._marshal_key(key)[0])
+        trie = self._trie
+        ext = getattr(trie, "_ext", None) if self._fast_str_keys else None
+        if ext is not None and self._key_type == KEY_STRING:
+            # ext raises the same TypeError("string expected") for non-str
+            return ext.find_eow(trie._h, key) >= 0
+        node = trie.find(self._marshal_key(key)[0])
         return bool(node is not None and node.eow)
 
     __contains__ = exists
@@ -316,17 +343,32 @@ class Automaton:
     def match(self, key):
         """True when key is a prefix of (or equal to) any word
         (src/Automaton.c:460-479)."""
-        return self._trie.find(self._marshal_key(key)[0]) is not None
+        trie = self._trie
+        ext = getattr(trie, "_ext", None) if self._fast_str_keys else None
+        if ext is not None and self._key_type == KEY_STRING:
+            return ext.find(trie._h, key) >= 0
+        return trie.find(self._marshal_key(key)[0]) is not None
 
     def longest_prefix(self, key):
-        return self._trie.longest_prefix(self._marshal_key(key)[0])
+        trie = self._trie
+        ext = getattr(trie, "_ext", None) if self._fast_str_keys else None
+        if ext is not None and self._key_type == KEY_STRING:
+            return ext.longest_prefix(trie._h, key)
+        return trie.longest_prefix(self._marshal_key(key)[0])
 
     def get(self, key, *args):
         if len(args) > 1:
             raise TypeError("get() takes one or two arguments (%d given)" % (1 + len(args)))
-        node = self._trie.find(self._marshal_key(key)[0])
-        if node is not None and node.eow:
-            return node.value
+        trie = self._trie
+        ext = getattr(trie, "_ext", None) if self._fast_str_keys else None
+        if ext is not None and self._key_type == KEY_STRING:
+            nid = ext.find_eow(trie._h, key)
+            if nid >= 0:
+                return trie._values[nid]
+        else:
+            node = trie.find(self._marshal_key(key)[0])
+            if node is not None and node.eow:
+                return node.value
         if args:
             return args[0]
         raise KeyError()

@@ -22,6 +22,8 @@ unicode = False
 
 
 class Automaton(_base.Automaton):
+    _fast_str_keys = False  # keys are bytes; marshalling overridden below
+
     """Automaton keyed by bytes (letters = byte values)."""
 
     def _marshal_key(self, key):
