@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <thread>
 #include <vector>
 
 #if defined(__linux__)
@@ -308,8 +309,9 @@ void aho_trie_bfs_export(void* h, uint32_t* parent, uint32_t* letter, uint8_t* e
     Trie* t = static_cast<Trie*>(h);
     if (!t->has_root) return;
     std::vector<int32_t> order;
+    order.reserve(t->nodes.size() - t->freelist.size());
     order.push_back(0);
-    std::vector<int64_t> newid(t->nodes.size(), -1);
+    std::vector<int32_t> newid(t->nodes.size(), -1);
     newid[0] = 0;
     parent[0] = 0;
     letter[0] = 0;
@@ -444,6 +446,241 @@ int64_t aho_build_tables(const uint32_t* parent, const int32_t* cls,
         total += match_count[i];
     }
     return total;
+}
+
+// ---------------------------------------------------------------------------
+// Sparse construction: fail links by fail-chain walking over the BFS arrays —
+// the same algorithm (and cost) as the reference's make_automaton BFS
+// (src/Automaton.c:560-649) — so make_automaton no longer pays for the dense
+// table; that is built lazily by aho_build_delta when a bulk/device scan
+// first needs it.
+//
+// Children of BFS node p occupy the contiguous index range
+// [child_off[p], child_off[p+1]) and a child's id IS its BFS index, so the
+// goto function is a linear scan of a (typically tiny) run.
+// ---------------------------------------------------------------------------
+
+// Sparse goto for a non-root state; -1 when the edge is absent.
+static inline int32_t sparse_goto(const int32_t* cls, const int64_t* child_off,
+                                  int32_t s, int32_t c) {
+    int64_t lo = child_off[s], hi = child_off[s + 1];
+    for (int64_t j = lo; j < hi; j++)
+        if (cls[j] == c) return (int32_t)j;
+    return -1;
+}
+
+// Computes fail/depth/word_id/match_count/out_link without the dense table.
+// Returns the total number of CSR output entries.  root_goto [K] must be
+// zero-initialized; it is filled as a side product for the sparse scans.
+// Within a BFS level every node's fail link depends only on strictly
+// shallower (already final) links, so each level parallelizes.
+int64_t aho_fail_links(const uint32_t* parent, const int32_t* cls,
+                       const uint8_t* eow, int64_t S, int32_t K,
+                       const int64_t* level_starts, int64_t nlevels,
+                       const int64_t* child_off, int32_t* root_goto,
+                       int32_t* fail, int32_t* depth, int32_t* word_id,
+                       int32_t* match_count, int32_t* out_link,
+                       int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    fail[0] = 0;
+    depth[0] = 0;
+    out_link[0] = 0;
+    for (int64_t j = child_off[0]; j < child_off[1]; j++)
+        root_goto[cls[j]] = (int32_t)j;
+    for (int64_t d = 1; d < nlevels; d++) {
+        int64_t lo = level_starts[d], hi = level_starts[d + 1];
+        auto run = [&](int64_t a, int64_t b) {
+            for (int64_t i = a; i < b; i++) {
+                depth[i] = (int32_t)d;
+                int32_t f = 0;
+                if (d > 1) {
+                    int32_t s = fail[parent[i]];
+                    int32_t c = cls[i];
+                    for (;;) {
+                        if (s == 0) {
+                            f = root_goto[c];  // 0 when absent; never i
+                            break;
+                        }
+                        int32_t t = sparse_goto(cls, child_off, s, c);
+                        if (t >= 0) {
+                            f = t;
+                            break;
+                        }
+                        s = fail[s];
+                    }
+                }
+                fail[i] = f;
+                // nearest strict fail-ancestor that is a word (0 = none);
+                // f is strictly shallower, so its out_link is final
+                out_link[i] = eow[f] ? f : out_link[f];
+            }
+        };
+        int64_t n = hi - lo;
+        int nt = (int)std::min<int64_t>(nthreads, std::max<int64_t>(n / 8192, 1));
+        if (nt <= 1) {
+            run(lo, hi);
+        } else {
+            std::vector<std::thread> ts;
+            int64_t per = (n + nt - 1) / nt;
+            for (int t = 0; t < nt; t++)
+                ts.emplace_back(run, lo + t * per, std::min(hi, lo + (t + 1) * per));
+            for (auto& th : ts) th.join();
+        }
+    }
+    int32_t next_pid = 0;
+    int64_t total = 0;
+    for (int64_t i = 0; i < S; i++) {
+        word_id[i] = eow[i] ? next_pid++ : -1;
+        match_count[i] = (int32_t)(eow[i] != 0) + match_count[fail[i]];
+        total += match_count[i];
+    }
+    return total;
+}
+
+// Dense DFA table from precomputed fail links (the deferred half of the old
+// aho_build_tables).  Level-phased: a level's rows start as copies of their
+// (strictly shallower, already final) fail rows, then the level's goto edges
+// are scattered on top.  Both phases are parallel within a level.
+void aho_build_delta(const uint32_t* parent, const int32_t* cls,
+                     const int32_t* fail, int64_t S, int32_t K,
+                     const int64_t* level_starts, int64_t nlevels,
+                     int32_t* delta, int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    {
+        // pre-fault the table with parallel sequential writes: on the target
+        // VMs first-touch page faults cost far more than the writes, and the
+        // build's own (random-row) touch order is the worst case for them
+        int nt = (int)std::min<int64_t>(nthreads, std::max<int64_t>(S / 65536, 1));
+        int64_t total = S * (int64_t)K;
+        auto touch = [&](int64_t a, int64_t b) {
+            if (b > a) memset(delta + a, 0, (size_t)(b - a) * 4);
+        };
+        if (nt <= 1) {
+            touch(0, total);
+        } else {
+            std::vector<std::thread> ts;
+            int64_t per = (total + nt - 1) / nt;
+            for (int t = 0; t < nt; t++)
+                ts.emplace_back(touch, t * per, std::min(total, (t + 1) * per));
+            for (auto& th : ts) th.join();
+        }
+    }
+    std::vector<int64_t> by_src;
+    const int64_t kIdxMask = (1LL << 28) - 1;
+    for (int64_t d = 0; d < nlevels; d++) {
+        int64_t lo = level_starts[d], hi = level_starts[d + 1];
+        if (d > 0) {
+            // ascending source-row order: reads stream the shallower region
+            by_src.clear();
+            by_src.reserve((size_t)(hi - lo));
+            for (int64_t i = lo; i < hi; i++)
+                by_src.push_back(((int64_t)fail[i] << 28) | (i - lo));
+            std::sort(by_src.begin(), by_src.end());
+            int64_t n = (int64_t)by_src.size();
+            int nt = (int)std::min<int64_t>(nthreads, std::max<int64_t>(n / 4096, 1));
+            auto copy_range = [&](int64_t a, int64_t b) {
+                for (int64_t k = a; k < b; k++) {
+                    int64_t i = lo + (by_src[(size_t)k] & kIdxMask);
+                    if (k + 8 < b)
+                        __builtin_prefetch(delta + (by_src[(size_t)k + 8] >> 28) * K, 0, 1);
+                    memcpy(delta + i * K, delta + (by_src[(size_t)k] >> 28) * K,
+                           (size_t)K * 4);
+                }
+            };
+            if (nt <= 1) {
+                copy_range(0, n);
+            } else {
+                std::vector<std::thread> ts;
+                int64_t per = (n + nt - 1) / nt;
+                for (int t = 0; t < nt; t++)
+                    ts.emplace_back(copy_range, t * per,
+                                    std::min(n, (t + 1) * per));
+                for (auto& th : ts) th.join();
+            }
+        }
+        if (d + 1 < nlevels) {
+            int64_t clo = level_starts[d + 1], chi = level_starts[d + 2];
+            // goto edges write distinct (parent,cls) cells: parallel-safe
+            int64_t n = chi - clo;
+            int nt = (int)std::min<int64_t>(nthreads, std::max<int64_t>(n / 65536, 1));
+            auto scatter_range = [&](int64_t a, int64_t b) {
+                for (int64_t j = a; j < b; j++)
+                    delta[(int64_t)parent[j] * K + cls[j]] = (int32_t)j;
+            };
+            if (nt <= 1) {
+                scatter_range(clo, chi);
+            } else {
+                std::vector<std::thread> ts;
+                int64_t per = (n + nt - 1) / nt;
+                for (int t = 0; t < nt; t++)
+                    ts.emplace_back(scatter_range, clo + t * per,
+                                    std::min(chi, clo + (t + 1) * per));
+                for (auto& th : ts) th.join();
+            }
+        }
+    }
+}
+
+// Sequential scan + emission over the SPARSE automaton (goto via child runs +
+// fail chains, exactly the reference's search loop shape, src/trie.c:177-194).
+// Used by the host iterators before the dense table exists.
+int64_t aho_scan_emit_sparse(const int32_t* cls_nodes, const int64_t* child_off,
+                             const int32_t* fail, const int32_t* root_goto,
+                             const int32_t* match_count,
+                             const int64_t* out_offsets, const int32_t* out_ids,
+                             const int32_t* cls, int64_t n, int32_t s0,
+                             int64_t base, int64_t* out_pos, int32_t* out_pid,
+                             int64_t cap, int32_t* final_state) {
+    int32_t s = s0;
+    int64_t written = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t c = cls[i];
+        for (;;) {
+            if (s == 0) {
+                s = root_goto[c];
+                break;
+            }
+            int32_t t = sparse_goto(cls_nodes, child_off, s, c);
+            if (t >= 0) {
+                s = t;
+                break;
+            }
+            s = fail[s];
+        }
+        int32_t mc = match_count[s];
+        if (mc) {
+            int64_t off = out_offsets[s];
+            for (int32_t j = 0; j < mc; j++) {
+                if (out_pos && written < cap) {
+                    out_pos[written] = base + i;
+                    out_pid[written] = out_ids[off + j];
+                }
+                written++;
+            }
+        }
+    }
+    if (final_state) *final_state = s;
+    return written;
+}
+
+// CSR output lists in fail-chain order, from a precomputed out_link (the
+// fused aho_fail_links computes it in the same pass as fail itself).
+void aho_fill_out_ids_linked(const uint8_t* eow, const int32_t* out_link,
+                             const int32_t* word_id, const int32_t* match_count,
+                             int64_t S, int64_t* out_offsets, int32_t* out_ids) {
+    out_offsets[0] = 0;
+    for (int64_t i = 0; i < S; i++)
+        out_offsets[i + 1] = out_offsets[i] + match_count[i];
+    for (int64_t i = 0; i < S; i++) {
+        int32_t mc = match_count[i];
+        if (!mc) continue;
+        int64_t off = out_offsets[i];
+        int64_t cur = eow[i] ? i : out_link[i];
+        for (int32_t t = 0; t < mc; t++) {
+            out_ids[off + t] = word_id[cur];
+            cur = out_link[cur];
+        }
+    }
 }
 
 // CSR output lists in fail-chain order.  out_offsets [S+1] and out_ids

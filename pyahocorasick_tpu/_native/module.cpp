@@ -341,6 +341,135 @@ PyObject* m_build_tables(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     return r;
 }
 
+// Helper: grab N buffers with given writability flags; returns false (with
+// everything released and an exception set) on failure.
+struct Buffers {
+    Py_buffer views[12];
+    int count = 0;
+    ~Buffers() {
+        for (int i = 0; i < count; i++) PyBuffer_Release(&views[i]);
+    }
+    bool grab(PyObject* obj, bool writable) {
+        int flags = PyBUF_C_CONTIGUOUS | (writable ? PyBUF_WRITABLE : 0);
+        if (PyObject_GetBuffer(obj, &views[count], flags)) return false;
+        count++;
+        return true;
+    }
+    void* buf(int i) { return views[i].buf; }
+    int64_t len(int i) { return views[i].len; }
+};
+
+PyObject* m_fail_links(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // parent(u32), cls(i32), eow(u8), K, level_starts(i64), child_off(i64),
+    // root_goto(i32 w, zeroed), fail(i32 w), depth(i32 w), word_id(i32 w),
+    // mc(i32 w), out_link(i32 w), nthreads -> total
+    long K = PyLong_AsLong(args[3]);
+    long nthreads = PyLong_AsLong(args[12]);
+    Buffers b;
+    if (!b.grab(args[0], false) || !b.grab(args[1], false) ||
+        !b.grab(args[2], false) || !b.grab(args[4], false) ||
+        !b.grab(args[5], false) || !b.grab(args[6], true) ||
+        !b.grab(args[7], true) || !b.grab(args[8], true) ||
+        !b.grab(args[9], true) || !b.grab(args[10], true) ||
+        !b.grab(args[11], true))
+        return NULL;
+    int64_t S = b.len(0) / 4;
+    int64_t nlevels = b.len(3) / 8 - 1;
+    int64_t total = 0;
+    bool oom = false;
+    Py_BEGIN_ALLOW_THREADS
+    try {
+        total = aho_fail_links(
+            (const uint32_t*)b.buf(0), (const int32_t*)b.buf(1),
+            (const uint8_t*)b.buf(2), S, (int32_t)K, (const int64_t*)b.buf(3),
+            nlevels, (const int64_t*)b.buf(4), (int32_t*)b.buf(5),
+            (int32_t*)b.buf(6), (int32_t*)b.buf(7), (int32_t*)b.buf(8),
+            (int32_t*)b.buf(9), (int32_t*)b.buf(10), (int32_t)nthreads);
+    } catch (const std::bad_alloc&) {
+        oom = true;
+    }
+    Py_END_ALLOW_THREADS
+    if (oom) return PyErr_NoMemory();
+    return PyLong_FromLongLong(total);
+}
+
+PyObject* m_fill_out_ids_linked(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // eow(u8), out_link(i32), word_id(i32), mc(i32), out_offsets(i64 w),
+    // out_ids(i32 w)
+    Buffers b;
+    if (!b.grab(args[0], false) || !b.grab(args[1], false) ||
+        !b.grab(args[2], false) || !b.grab(args[3], false) ||
+        !b.grab(args[4], true) || !b.grab(args[5], true))
+        return NULL;
+    Py_BEGIN_ALLOW_THREADS
+    aho_fill_out_ids_linked((const uint8_t*)b.buf(0), (const int32_t*)b.buf(1),
+                            (const int32_t*)b.buf(2), (const int32_t*)b.buf(3),
+                            b.len(0), (int64_t*)b.buf(4), (int32_t*)b.buf(5));
+    Py_END_ALLOW_THREADS
+    Py_RETURN_NONE;
+}
+
+PyObject* m_build_delta(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // parent(u32), cls(i32), fail(i32), K, level_starts(i64), delta(i32 w),
+    // nthreads
+    long K = PyLong_AsLong(args[3]);
+    long nthreads = PyLong_AsLong(args[6]);
+    Buffers b;
+    if (!b.grab(args[0], false) || !b.grab(args[1], false) ||
+        !b.grab(args[2], false) || !b.grab(args[4], false) ||
+        !b.grab(args[5], true))
+        return NULL;
+    int64_t S = b.len(0) / 4;
+    int64_t nlevels = b.len(3) / 8 - 1;
+    bool oom = false;
+    Py_BEGIN_ALLOW_THREADS
+    try {
+        aho_build_delta((const uint32_t*)b.buf(0), (const int32_t*)b.buf(1),
+                        (const int32_t*)b.buf(2), S, (int32_t)K,
+                        (const int64_t*)b.buf(3), nlevels,
+                        (int32_t*)b.buf(4), (int32_t)nthreads);
+    } catch (const std::bad_alloc&) {
+        oom = true;
+    }
+    Py_END_ALLOW_THREADS
+    if (oom) return PyErr_NoMemory();
+    Py_RETURN_NONE;
+}
+
+PyObject* m_scan_emit_sparse(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // cls_nodes(i32), child_off(i64), fail(i32), root_goto(i32), mc(i32),
+    // offs(i64), oids(i32), cls(i32), s0, base, out_pos|None, out_pid|None,
+    // cap -> (n, final_state)
+    long s0 = PyLong_AsLong(args[8]);
+    long long base = PyLong_AsLongLong(args[9]);
+    long long cap = PyLong_AsLongLong(args[12]);
+    Buffers b;
+    if (!b.grab(args[0], false) || !b.grab(args[1], false) ||
+        !b.grab(args[2], false) || !b.grab(args[3], false) ||
+        !b.grab(args[4], false) || !b.grab(args[5], false) ||
+        !b.grab(args[6], false) || !b.grab(args[7], false))
+        return NULL;
+    int64_t* out_pos = NULL;
+    int32_t* out_pid = NULL;
+    bool have_out = args[10] != Py_None;
+    if (have_out) {
+        if (!b.grab(args[10], true) || !b.grab(args[11], true)) return NULL;
+        out_pos = (int64_t*)b.buf(8);
+        out_pid = (int32_t*)b.buf(9);
+    }
+    int32_t fin = 0;
+    int64_t n;
+    Py_BEGIN_ALLOW_THREADS
+    n = aho_scan_emit_sparse(
+        (const int32_t*)b.buf(0), (const int64_t*)b.buf(1),
+        (const int32_t*)b.buf(2), (const int32_t*)b.buf(3),
+        (const int32_t*)b.buf(4), (const int64_t*)b.buf(5),
+        (const int32_t*)b.buf(6), (const int32_t*)b.buf(7), b.len(7) / 4,
+        (int32_t)s0, base, out_pos, out_pid, cap, &fin);
+    Py_END_ALLOW_THREADS
+    return Py_BuildValue("Li", (long long)n, (int)fin);
+}
+
 PyObject* m_fill_out_ids(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     // eow(u8), fail(i32), word_id(i32), mc(i32), out_offsets(i64 w), out_ids(i32 w)
     Py_buffer e, fl, wid, mc, offs, oids;
@@ -539,6 +668,10 @@ PyMethodDef methods[] = {
     {"stats", (PyCFunction)m_stats, METH_O, ""},
     {"node_edges", (PyCFunction)(void*)m_node_edges, METH_FASTCALL, ""},
     {"build_tables", (PyCFunction)(void*)m_build_tables, METH_FASTCALL, ""},
+    {"fail_links", (PyCFunction)(void*)m_fail_links, METH_FASTCALL, ""},
+    {"fill_out_ids_linked", (PyCFunction)(void*)m_fill_out_ids_linked, METH_FASTCALL, ""},
+    {"build_delta", (PyCFunction)(void*)m_build_delta, METH_FASTCALL, ""},
+    {"scan_emit_sparse", (PyCFunction)(void*)m_scan_emit_sparse, METH_FASTCALL, ""},
     {"fill_out_ids", (PyCFunction)(void*)m_fill_out_ids, METH_FASTCALL, ""},
     {"scan_states", (PyCFunction)(void*)m_scan_states, METH_FASTCALL, ""},
     {"scan_emit", (PyCFunction)(void*)m_scan_emit, METH_FASTCALL, ""},

@@ -1,12 +1,24 @@
-"""Lowering: host trie  ->  dense DFA tables ready for the TPU scan kernels.
+"""Lowering: host trie  ->  DFA tables ready for the TPU scan kernels.
 
 This is the TPU-native replacement for the reference's ``make_automaton()`` BFS
 (src/Automaton.c:560-649) *plus* the goto/fail resolution that the reference
-performs at search time (``ahocorasick_next``, src/trie.c:177-194).  Instead of
-pointer-chasing with fail-chain walks per input character, we precompute the
-fully-resolved DFA transition table so the device hot loop is a single gather:
+performs at search time (``ahocorasick_next``, src/trie.c:177-194).
 
-    state[i+1] = delta[state[i], cls[i]]
+Two-phase design:
+
+1. **make_automaton() (eager, cheap).**  BFS-export the trie and compute fail
+   links, depths, pattern ids and CSR output lists by fail-chain walking —
+   the same algorithm and cost as the reference's make_automaton.  After this
+   phase the host iterators can already search via the sparse goto (child
+   runs + fail chains; native ``scan_emit_sparse``).
+2. **Dense lowering (lazy).**  The fully fail-resolved transition table
+   ``delta[S, K]`` — the form the device kernels gather from
+   (``state' = delta[state, cls]``) — is built on first access of
+   ``CompiledAutomaton.delta`` and cached.  For big dictionaries this is a
+   multi-GB array; deferring it means trie-style workloads (build + exact
+   lookups + a few scans) never pay for it, while bulk/device scans amortize
+   it across the corpus.  Small automata (``S*K <= _EAGER_DENSE_ENTRIES``)
+   are lowered eagerly since the cost is negligible.
 
 Layout decisions (all chosen for the TPU memory system):
 
@@ -17,9 +29,9 @@ Layout decisions (all chosen for the TPU memory system):
   a 4-billion-wide (or even 256-wide) alphabet axis.
 * **BFS state numbering.**  States are numbered level by level (root = 0), so
   each BFS level occupies a contiguous id range and the whole construction
-  vectorizes: a level's rows start as a copy of their fail rows (numpy fancy
-  indexing), then the level's own goto edges are scattered on top.  Fail links
-  come out of the same recurrence: fail[child] = delta[fail[parent], cls].
+  vectorizes: a level's rows start as a copy of their fail rows, then the
+  level's own goto edges are scattered on top.  A node's children occupy the
+  contiguous range [child_off[p], child_off[p+1]) — the sparse goto form.
 * **Match metadata.**  Emission never walks fail chains at runtime: per state
   we store match_count (number of patterns ending there) and a CSR list of
   pattern ids in fail-chain order — the reference's emission order (deepest /
@@ -33,49 +45,131 @@ Layout decisions (all chosen for the TPU memory system):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import os
 from typing import List, Optional
 
 import numpy as np
 
+# S*K at or below this: build the dense table eagerly inside make_automaton
+# (64 MB of int32 — sub-100ms); above: defer to first .delta access.
+_EAGER_DENSE_ENTRIES = 1 << 24
 
-@dataclass
+
+def _lower_mode() -> str:
+    # PYAHOCORASICK_TPU_LOWER = auto (default) | eager | lazy
+    return os.environ.get("PYAHOCORASICK_TPU_LOWER", "auto")
+
+
 class CompiledAutomaton:
-    """Immutable dense form of an Aho-Corasick automaton.
+    """Compiled form of an Aho-Corasick automaton.
 
-    All arrays are numpy on host; device (jax) copies are created lazily and
-    cached by the search engines.
+    Sparse structures (fail/depth/word_id/match_count/CSR outputs/child runs)
+    are always present; the dense ``delta`` table materializes lazily via the
+    property.  All arrays are numpy on host; device (jax) copies are created
+    lazily and cached by the search engines in ``_cache``.
     """
 
-    # alphabet
-    letters: np.ndarray  # [K-1] uint32, sorted distinct letters
-    # transitions
-    delta: np.ndarray  # [S, K] int32, fully fail-resolved DFA
-    fail: np.ndarray  # [S] int32
-    depth: np.ndarray  # [S] int32
-    # match metadata
-    word_id: np.ndarray  # [S] int32, pattern id if eow else -1
-    match_count: np.ndarray  # [S] int32, #patterns ending at this state
-    out_offsets: np.ndarray  # [S+1] int64 CSR offsets
-    out_ids: np.ndarray  # [total] int32 pattern ids, fail-chain order
-    word_len: np.ndarray  # [P] int32 pattern lengths
-    values: List  # [P] per-pattern values (host side)
-    longest_word: int  # halo size for blocked scans
-
-    # lazily-populated caches (device arrays etc.)
-    _cache: dict = field(default_factory=dict, repr=False)
+    def __init__(
+        self,
+        *,
+        letters: np.ndarray,  # [K-1] uint32, sorted distinct letters
+        fail: np.ndarray,  # [S] int32
+        depth: np.ndarray,  # [S] int32
+        word_id: np.ndarray,  # [S] int32, pattern id if eow else -1
+        match_count: np.ndarray,  # [S] int32
+        out_offsets: np.ndarray,  # [S+1] int64 CSR offsets
+        out_ids: np.ndarray,  # [total] int32, fail-chain order
+        word_len: np.ndarray,  # [P] int32 pattern lengths
+        values: List,  # [P] per-pattern values (host side)
+        longest_word: int,  # halo size for blocked scans
+        num_classes: int,
+        # sparse goto structures (None only on legacy/numpy eager paths)
+        parent: Optional[np.ndarray] = None,  # [S] uint32 BFS parents
+        edge_cls: Optional[np.ndarray] = None,  # [S] int32 class on edge into i
+        child_off: Optional[np.ndarray] = None,  # [S+1] int64 child runs
+        root_goto: Optional[np.ndarray] = None,  # [K] int32
+        level_starts: Optional[np.ndarray] = None,  # [nlevels+1] int64
+        delta: Optional[np.ndarray] = None,  # [S, K] int32 dense, or None
+    ):
+        self.letters = letters
+        self.fail = fail
+        self.depth = depth
+        self.word_id = word_id
+        self.match_count = match_count
+        self.out_offsets = out_offsets
+        self.out_ids = out_ids
+        self.word_len = word_len
+        self.values = values
+        self.longest_word = longest_word
+        self.parent = parent
+        self.edge_cls = edge_cls
+        self.child_off = child_off
+        self.root_goto = root_goto
+        self.level_starts = level_starts
+        self._num_classes = int(num_classes)
+        self._delta = delta
+        self._cache: dict = {}
 
     @property
     def num_states(self) -> int:
-        return self.delta.shape[0]
+        return int(self.fail.shape[0])
 
     @property
     def num_classes(self) -> int:
-        return self.delta.shape[1]
+        return self._num_classes
 
     @property
     def num_patterns(self) -> int:
         return len(self.values)
+
+    # -- dense table (lazy) ---------------------------------------------------
+
+    @property
+    def has_delta(self) -> bool:
+        return self._delta is not None
+
+    @property
+    def delta(self) -> np.ndarray:
+        if self._delta is None:
+            self._delta = self._build_delta()
+        return self._delta
+
+    def _build_delta(self) -> np.ndarray:
+        S, K = self.num_states, self.num_classes
+        delta = np.zeros((S, K), dtype=np.int32)
+        if S <= 1:
+            return delta
+        from . import native
+
+        if native.available() and self.parent is not None:
+            ext = native._load()
+            nthreads = max(1, min(4, os.cpu_count() or 1))
+            ext.build_delta(
+                self.parent,
+                self.edge_cls,
+                np.ascontiguousarray(self.fail, np.int32),
+                K,
+                self.level_starts,
+                delta,
+                nthreads,
+            )
+            return delta
+        # numpy fallback: per-level vectorized construction from fail links
+        ls = self.level_starts
+        parent_idx = self.parent.astype(np.int64)
+        edge_cls = self.edge_cls
+        fail = self.fail
+        num_levels = len(ls) - 1
+        for d in range(num_levels):
+            lo, hi = int(ls[d]), int(ls[d + 1])
+            ids = np.arange(lo, hi)
+            if d > 0:
+                delta[ids] = delta[fail[ids]]
+            if d + 1 < num_levels:
+                clo, chi = int(ls[d + 1]), int(ls[d + 2])
+                cids = np.arange(clo, chi)
+                delta[parent_idx[cids], edge_cls[cids]] = cids.astype(np.int32)
+        return delta
 
     # -- alphabet mapping ---------------------------------------------------
 
@@ -107,8 +201,8 @@ class CompiledAutomaton:
 def compile_trie(trie, store: int, count: int) -> Optional[CompiledAutomaton]:
     """Lower a host trie into a CompiledAutomaton (None for an empty trie).
 
-    Equivalent of automaton_make_automaton (src/Automaton.c:560-649) fused with
-    full DFA resolution and output-list precomputation.
+    Equivalent of automaton_make_automaton (src/Automaton.c:560-649); the
+    dense-DFA resolution half is deferred (see module docstring).
     """
     arrays = trie.bfs_arrays()
     if arrays is None:
@@ -138,18 +232,18 @@ def levels_from_parents(parent: np.ndarray) -> list:
 def compile_arrays(
     parent: np.ndarray, letter: np.ndarray, eow: np.ndarray, values_all: List
 ) -> Optional[CompiledAutomaton]:
-    """Vectorized lowering from BFS arrays (parent u32[S], letter u32[S],
-    eow bool/u8[S], values_all = per-eow-node values in BFS order)."""
+    """Lowering from BFS arrays (parent u32[S], letter u32[S], eow bool/u8[S],
+    values_all = per-eow-node values in BFS order)."""
     S = int(parent.size)
     if S == 0:
         return None
-    parent_idx = parent.astype(np.int64)
-    edge_letter_arr = letter.astype(np.uint32)
-    eow = eow.astype(bool)
-    level_starts = levels_from_parents(parent_idx)
+    parent_u32 = np.ascontiguousarray(parent, np.uint32)
+    edge_letter_arr = np.asarray(letter, np.uint32)
+    eow_u8 = np.ascontiguousarray(eow, np.uint8)
+    level_starts = levels_from_parents(parent_u32)
 
     # ---- alphabet classes ------------------------------------------------
-    edge_cls = np.zeros(S, dtype=np.int64)
+    edge_cls = np.zeros(S, dtype=np.int32)
     if S <= 1:
         letters = np.empty(0, np.uint32)
     elif int(edge_letter_arr[1:].max()) < (1 << 21):
@@ -159,88 +253,118 @@ def compile_arrays(
         mask = np.zeros(top, dtype=bool)
         mask[edge_letter_arr[1:]] = True
         letters = np.nonzero(mask)[0].astype(np.uint32)
-        lut = np.zeros(top, dtype=np.int64)
-        lut[letters] = np.arange(1, letters.size + 1)
+        lut = np.zeros(top, dtype=np.int32)
+        lut[letters] = np.arange(1, letters.size + 1, dtype=np.int32)
         edge_cls[1:] = lut[edge_letter_arr[1:]]
     else:
         letters = np.unique(edge_letter_arr[1:]).astype(np.uint32)
-        edge_cls[1:] = np.searchsorted(letters, edge_letter_arr[1:]) + 1
+        edge_cls[1:] = (np.searchsorted(letters, edge_letter_arr[1:]) + 1).astype(
+            np.int32
+        )
     K = int(letters.size) + 1
 
-    # ---- eow / pattern ids ----------------------------------------------
-    word_id = np.full(S, -1, dtype=np.int32)
-    eow_idx = np.nonzero(eow)[0]
-    word_id[eow_idx] = np.arange(eow_idx.size, dtype=np.int32)
-    depth = np.zeros(S, dtype=np.int32)
-    for d in range(1, len(level_starts) - 1):
-        depth[level_starts[d] : level_starts[d + 1]] = d
-    word_len = depth[eow_idx].astype(np.int32)
+    # ---- eow / pattern ids / sparse goto structures ----------------------
     values = list(values_all)
-    longest_word = int(depth.max()) if S > 1 else 0
 
-    # ---- DFA + fail + outputs: native fast path -------------------------
+    ls = np.asarray(level_starts, np.int64)
+    cls_i32 = edge_cls
+    # children of p occupy [child_off[p], child_off[p+1]); BFS order groups
+    # children consecutively by ascending parent id, starting at index 1
+    counts = np.bincount(parent_u32[1:], minlength=S) if S > 1 else np.zeros(S, np.int64)
+    child_off = np.empty(S + 1, np.int64)
+    child_off[0] = 1
+    np.cumsum(counts, out=child_off[1:])
+    child_off[1:] += 1
+
     from . import native
 
     if native.available():
         ext = native._load()
-        eow_u8 = np.ascontiguousarray(eow, np.uint8)
-        cls_i32 = np.ascontiguousarray(edge_cls, np.int32)
-        parent_u32 = np.ascontiguousarray(parent, np.uint32)
-        ls = np.asarray(level_starts, np.int64)
-        delta = np.zeros((S, K), dtype=np.int32)
+        nthreads = max(1, min(4, os.cpu_count() or 1))
+        root_goto = np.zeros(K, dtype=np.int32)
         fail = np.zeros(S, dtype=np.int32)
         depth = np.zeros(S, dtype=np.int32)
         word_id = np.empty(S, dtype=np.int32)
         match_count = np.zeros(S, dtype=np.int32)
-        total = ext.build_tables(
-            parent_u32, cls_i32, eow_u8, K, ls, delta, fail, depth,
-            word_id, match_count,
+        out_link = np.zeros(S, dtype=np.int32)
+        total = ext.fail_links(
+            parent_u32, cls_i32, eow_u8, K, ls, child_off,
+            root_goto, fail, depth, word_id, match_count, out_link, nthreads,
         )
         out_offsets = np.zeros(S + 1, dtype=np.int64)
         out_ids = np.empty(total, dtype=np.int32)
-        ext.fill_out_ids(eow_u8, fail, word_id, match_count, out_offsets, out_ids)
-        word_len = depth[eow_idx].astype(np.int32)
-        return CompiledAutomaton(
-            letters=letters,
-            delta=delta,
-            fail=fail,
-            depth=depth,
-            word_id=word_id,
-            match_count=match_count,
-            out_offsets=out_offsets,
-            out_ids=out_ids,
-            word_len=word_len,
-            values=values,
-            longest_word=longest_word,
+        ext.fill_out_ids_linked(
+            eow_u8, out_link, word_id, match_count, out_offsets, out_ids
         )
+    else:
+        fail, depth, word_id, match_count, out_offsets, out_ids, root_goto = (
+            _sparse_tables_numpy(
+                parent_u32.astype(np.int64), cls_i32, eow_u8.astype(bool),
+                ls, child_off, K,
+            )
+        )
+    eow_idx = np.nonzero(eow_u8)[0]
 
-    # ---- vectorized per-level DFA + fail construction (numpy fallback) --
-    delta = np.zeros((S, K), dtype=np.int32)
+    word_len = depth[eow_idx].astype(np.int32)
+    longest_word = int(depth.max()) if S > 1 else 0
+
+    compiled = CompiledAutomaton(
+        letters=letters,
+        fail=fail,
+        depth=depth,
+        word_id=word_id,
+        match_count=match_count,
+        out_offsets=out_offsets,
+        out_ids=out_ids,
+        word_len=word_len,
+        values=values,
+        longest_word=longest_word,
+        num_classes=K,
+        parent=parent_u32,
+        edge_cls=cls_i32,
+        child_off=child_off,
+        root_goto=root_goto,
+        level_starts=ls,
+    )
+    mode = _lower_mode()
+    if mode == "eager" or (mode == "auto" and S * K <= _EAGER_DENSE_ENTRIES):
+        compiled.delta  # materialize now
+    return compiled
+
+
+def _sparse_tables_numpy(parent_idx, edge_cls, eow, level_starts, child_off, K):
+    """Pure-numpy fallback for fail links + match metadata (vectorized per
+    level via a temporary dense construction for fail resolution)."""
+    S = parent_idx.size
     fail = np.zeros(S, dtype=np.int32)
-
+    depth = np.zeros(S, dtype=np.int32)
     num_levels = len(level_starts) - 1
+
+    # per-level dense rows only for fail resolution; memory equals the dense
+    # table, acceptable for the non-native fallback environment (small S)
+    delta = np.zeros((S, K), dtype=np.int32)
     for d in range(num_levels):
-        lo, hi = level_starts[d], level_starts[d + 1]
+        lo, hi = int(level_starts[d]), int(level_starts[d + 1])
         ids = np.arange(lo, hi)
+        depth[lo:hi] = d
         if d > 0:
-            # start from the fail state's fully-resolved row
             delta[ids] = delta[fail[ids]]
-        # children of this level live in the next contiguous range; their fail
-        # links resolve against rows of strictly shallower levels (final).
         if d + 1 < num_levels:
-            clo, chi = level_starts[d + 1], level_starts[d + 2]
+            clo, chi = int(level_starts[d + 1]), int(level_starts[d + 2])
             cids = np.arange(clo, chi)
             if d == 0:
-                fail[cids] = 0  # root children fail to root
+                fail[cids] = 0
             else:
-                fail[cids] = delta[fail[parent_idx[cids]], edge_cls[cids]]
-            # overwrite goto edges on this level's rows
+                fail[cids] = delta[parent_idx[cids], edge_cls[cids]]
             delta[parent_idx[cids], edge_cls[cids]] = cids.astype(np.int32)
 
-    # ---- match counts + CSR output lists (fail-chain order) -------------
+    word_id = np.full(S, -1, dtype=np.int32)
+    eow_idx = np.nonzero(eow)[0]
+    word_id[eow_idx] = np.arange(eow_idx.size, dtype=np.int32)
+
     match_count = np.zeros(S, dtype=np.int32)
     for d in range(num_levels):
-        lo, hi = level_starts[d], level_starts[d + 1]
+        lo, hi = int(level_starts[d]), int(level_starts[d + 1])
         match_count[lo:hi] = eow[lo:hi].astype(np.int32) + match_count[fail[lo:hi]]
 
     out_offsets = np.zeros(S + 1, dtype=np.int64)
@@ -252,12 +376,11 @@ def compile_arrays(
     # root is never a word, so 0 doubles as the chain terminator.
     out_link = np.zeros(S, dtype=np.int64)
     for d in range(1, num_levels):
-        lo, hi = level_starts[d], level_starts[d + 1]
+        lo, hi = int(level_starts[d]), int(level_starts[d + 1])
         f = fail[lo:hi]
         out_link[lo:hi] = np.where(eow[f], f, out_link[f])
 
     if total:
-        # chain head: the state itself when eow, else its out_link
         all_ids = np.arange(S, dtype=np.int64)
         cur = np.where(eow, all_ids, out_link)
         remaining = match_count.copy()
@@ -270,16 +393,8 @@ def compile_arrays(
             t += 1
             active = active[remaining[active] > 0]
 
-    return CompiledAutomaton(
-        letters=letters,
-        delta=delta,
-        fail=fail,
-        depth=depth,
-        word_id=word_id,
-        match_count=match_count,
-        out_offsets=out_offsets,
-        out_ids=out_ids,
-        word_len=word_len,
-        values=values,
-        longest_word=longest_word,
-    )
+    root_goto = np.zeros(K, dtype=np.int32)
+    if S > 1:
+        c0, c1 = int(child_off[0]), int(child_off[1])
+        root_goto[edge_cls[c0:c1]] = np.arange(c0, c1, dtype=np.int32)
+    return fail, depth, word_id, match_count, out_offsets, out_ids, root_goto

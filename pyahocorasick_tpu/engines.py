@@ -102,6 +102,19 @@ def emit(
     global _jax_failed
     engine = _forced()
     N = int(cls.size)
+    if not compiled.has_delta and compiled.child_off is not None:
+        # dense table not yet lowered: scan sparsely (goto via child runs +
+        # fail chains) unless the input is big enough that lowering pays for
+        # itself (device path amortizes the build over the corpus)
+        from . import native
+
+        if (
+            native.available()
+            and engine in ("auto", "seq")
+            and (N < _JAX_MIN or N < compiled.num_states)
+        ):
+            pos, pids, _ = native.scan_emit_sparse(compiled, cls, halo, base)
+            return pos, pids
     if engine == "auto" and N >= _JAX_MIN and not _jax_failed:
         engine = "jax"
     if engine == "jax":

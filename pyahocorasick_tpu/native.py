@@ -133,7 +133,8 @@ class NativeTrie:
         slot = np.empty(S, np.int64)
         self._ext.bfs_export(self._h, parent, letter, eow, slot)
         eow_rows = np.nonzero(eow)[0]
-        values = [self._values[int(slot[i])] for i in eow_rows]
+        vals = self._values
+        values = [vals[s] for s in slot[eow_rows].tolist()]
         return parent, letter, eow, values
 
     def import_arrays(self, parent, letter, eow, values):
@@ -333,6 +334,36 @@ def scan_emit(compiled, cls: np.ndarray, state: int = 0, base: int = 0):
         pos,
         pid,
         n,
+    )
+    return pos, pid, int(fin)
+
+
+def scan_emit_sparse(compiled, cls: np.ndarray, halo=None, base: int = 0):
+    """Sequential scan + emission on the SPARSE automaton (no dense table
+    needed): goto via child runs + fail chains, reference scan-loop shape.
+    Returns (positions i64[], pids i32[], final_state)."""
+    ext = _load()
+    cls = np.ascontiguousarray(cls, dtype=np.int32)
+    state = 0
+    if halo is not None and halo.size:
+        H = max(int(compiled.longest_word), 1)
+        h = np.ascontiguousarray(halo[-H:], dtype=np.int32)
+        _, state = ext.scan_emit_sparse(
+            compiled.edge_cls, compiled.child_off, compiled.fail,
+            compiled.root_goto, compiled.match_count, compiled.out_offsets,
+            compiled.out_ids, h, 0, 0, None, None, 0,
+        )
+    n, _fin = ext.scan_emit_sparse(
+        compiled.edge_cls, compiled.child_off, compiled.fail,
+        compiled.root_goto, compiled.match_count, compiled.out_offsets,
+        compiled.out_ids, cls, state, base, None, None, 0,
+    )
+    pos = np.empty(n, np.int64)
+    pid = np.empty(n, np.int32)
+    _, fin = ext.scan_emit_sparse(
+        compiled.edge_cls, compiled.child_off, compiled.fail,
+        compiled.root_goto, compiled.match_count, compiled.out_offsets,
+        compiled.out_ids, cls, state, base, pos, pid, n,
     )
     return pos, pid, int(fin)
 
