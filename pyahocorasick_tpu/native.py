@@ -34,8 +34,38 @@ def _load():
         _EXT = _ahocore
         _warn_if_stale()
     except ImportError:
-        _EXT = None
+        _EXT = _try_autobuild()
     return _EXT
+
+
+def _try_autobuild():
+    """Build the extension in-place on first import when the .so is absent
+    (fresh checkouts).  Fails quietly to the Python fallback."""
+    if os.environ.get("PYAHOCORASICK_TPU_AUTOBUILD", "1") == "0":
+        return None
+    import subprocess
+    import sys
+
+    d = os.path.join(os.path.dirname(__file__), "_native")
+    try:
+        subprocess.run(
+            ["make", "-s"],
+            cwd=d,
+            check=True,
+            timeout=300,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    except Exception:
+        return None
+    try:
+        import importlib
+
+        return importlib.import_module(
+            "._native._ahocore", package=__package__
+        )
+    except ImportError:
+        return None
 
 
 def _warn_if_stale():
