@@ -31,6 +31,17 @@ def _forced() -> str:
     return os.environ.get("PYAHOCORASICK_TPU_ENGINE", "auto")
 
 
+def _device_backend() -> bool:
+    """True when the default jax backend is an accelerator (the cascade
+    engine is tuned for TPU op costs; on CPU the classic paths win)."""
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def scan_states(
     compiled: CompiledAutomaton, cls: np.ndarray, halo: np.ndarray | None = None
 ) -> np.ndarray:
@@ -159,6 +170,25 @@ def count_matches(
     global _jax_failed
     engine = _forced()
     N = int(cls.size)
+    if engine == "cascade" or (
+        engine == "auto"
+        and N >= _JAX_MIN
+        and not _jax_failed
+        and _device_backend()
+    ):
+        # n-gram suffix-membership cascade: no per-char DFA gather at all.
+        # Returns None when gated out (alphabet too wide, shared-suffix
+        # buckets too deep, candidate budgets overflowed) — exact otherwise.
+        try:
+            from .ops import cascade as cascade_ops
+
+            res = cascade_ops.count_matches_cascade(compiled, cls, halo)
+            if res is not None:
+                return res
+        except ImportError:
+            _jax_failed = True
+        if engine == "cascade":
+            engine = "auto"  # gated out: pick the classic path below
     if engine == "auto":
         engine = "jax" if (N >= _JAX_MIN and not _jax_failed) else "numpy"
     if engine == "jax":

@@ -1,0 +1,621 @@
+"""N-gram suffix-membership cascade: per-pattern match counting without a
+per-character DFA gather.
+
+Motivation (PLAN.md hardware facts): the classic blocked DFA scan pays one
+~8 ns XLA HBM gather per character; dense scatters cost ~7 ns/element too.
+This engine restructures exact counting around ops TPUs are actually fast
+at, with exactly ONE dense scatter (a histogram) on the whole input:
+
+* Lengths 1-3: a match is a 3-gram (2-gram, 1-gram) equality, so all short
+  counts come from ONE device histogram of 3-gram codes: counts of length-3
+  patterns are direct bins, lengths 1-2 are marginals of the same histogram
+  plus O(1) boundary corrections applied on the host.
+* Lengths >= 4: a candidate end position must pass bloom filters fetched
+  with the **bilinear MXU gather** (onehot(hi) @ W then row-dot onehot(lo),
+  f32 HIGHEST precision — exact, ~0.55 ns/lookup, no gather instruction):
+  two tables keyed by the 4-gram codes of length-4 words, and for lengths
+  >= 5 three tables on the last-4-gram suffix AND three on the
+  one-shifted suffix (the same bilinear output shifted by one position).
+  The surviving flag rate is ~0.1% on non-adversarial corpora, which makes
+  compaction affordable at *block* granularity (a scatter over N/32
+  elements, not N).  Surviving candidates fetch their per-suffix pattern
+  bucket (exact S4 bitmap + popcount rank) and each candidate (l,
+  first-4-gram, id) is verified by comparing the 4-gram at the match start.
+  l == 4 is thereby verified exactly on device; l >= 5 survivors (two
+  4-gram anchors matched — vanishingly rare) are returned to the host,
+  which compares the full pattern text exactly.
+* Budget overflows (match- or candidate-dense adversarial inputs) make the
+  engine return None and the caller falls back to the classic blocked DFA
+  scan, so results are always exact.
+
+Reference parity: per-pattern counts equal len(list(A.iter(s))) aggregated
+by pattern — the reference's match semantics (src/AutomatonSearchIter.c:
+157-197, every suffix word at every end position).  This module needs only
+the *sparse* compiled automaton (no dense delta), so ``make_automaton``
+stays cheap on huge dictionaries.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..compiler import CompiledAutomaton
+
+# gates
+_MAX_K = 64  # K^4 codes must stay well under 2^31; hist3 = K^3+1 bins
+_MAX_BUCKET = 8  # max patterns sharing a last-4-gram before we bail
+_BLOOM_BITS = 1 << 18  # bits per bloom table (one bilinear table each)
+_DEEP_BUDGET = 1 << 14  # device->host candidate budget for l>=5
+_BLK = 32  # block size for hierarchical candidate compaction
+
+_MULTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE35)
+
+
+def _bloom_tables(codes: np.ndarray, ntables: int) -> list:
+    tabs = []
+    for mult in _MULTS[:ntables]:
+        h = (codes.astype(np.uint64) * mult) & 0xFFFFFFFF
+        h = ((h >> 14) & (_BLOOM_BITS - 1)).astype(np.int64)
+        bb = np.zeros(_BLOOM_BITS // 16, dtype=np.int64)
+        np.bitwise_or.at(bb, h >> 4, np.int64(1) << (h & 15))
+        tabs.append(_to_bilinear(bb))
+    return tabs
+
+
+def _to_bilinear(words16: np.ndarray) -> np.ndarray:
+    """Pack <=16384 16-bit words into the (128,128) f32 bilinear table."""
+    assert words16.size <= 16384, words16.size
+    tab = np.zeros(16384, np.float32)
+    tab[: words16.size] = words16.astype(np.float32)
+    return tab.reshape(128, 128)
+
+
+class CascadeTables:
+    """Host-side numpy tables; device copies cached per automaton."""
+
+    def __init__(self, compiled: CompiledAutomaton):
+        self.ok = False
+        K = compiled.num_classes
+        self.K = K
+        if K > _MAX_K or compiled.num_states <= 1:
+            return
+        depth = compiled.depth
+        word_id = compiled.word_id
+        edge_cls = compiled.edge_cls
+        parent = compiled.parent.astype(np.int64)
+        P = compiled.num_patterns
+        if P == 0:
+            return
+
+        # per-state g-codes up to depth 4 (BFS order: parents precede children)
+        ls = compiled.level_starts
+        S = compiled.num_states
+        g = np.zeros(S, dtype=np.int64)
+        for d in range(1, len(ls) - 1):
+            lo, hi = int(ls[d]), int(ls[d + 1])
+            if d <= 4:
+                g[lo:hi] = g[parent[lo:hi]] * K + edge_cls[lo:hi]
+
+        # short words (l <= 3): histogram bins + host boundary-fix maps
+        self.short_codes = [None, None, None]  # g-codes per length
+        self.short_ids = [None, None, None]
+        self.short_maps = [None, None, None]  # host dict code -> id
+        for ell in (1, 2, 3):
+            eidx = np.nonzero((word_id >= 0) & (depth == ell))[0]
+            if eidx.size == 0:
+                continue
+            codes = g[eidx].astype(np.int64)
+            self.short_codes[ell - 1] = codes.astype(np.int32)
+            self.short_ids[ell - 1] = word_id[eidx]
+            self.short_maps[ell - 1] = dict(
+                zip(codes.tolist(), word_id[eidx].tolist())
+            )
+        self.has = [self.short_codes[i] is not None for i in range(3)]
+
+        # deep patterns (l >= 4): last-4-gram buckets
+        didx = np.nonzero((word_id >= 0) & (depth >= 4))[0]
+        self.has4 = didx.size > 0
+        self.bucket_off = np.zeros(1, np.int32)
+        self.cand_len = self.cand_start4 = self.cand_id = np.zeros(0, np.int32)
+        self.s4_words = np.zeros(1, np.int32)
+        self.s4_rank = np.zeros(1, np.int32)
+        zero_bloom = _to_bilinear(np.zeros(1, np.int64))
+        self.bw4 = [zero_bloom] * 2
+        self.bsuf = [zero_bloom] * 3
+        self.bsufb = [zero_bloom] * 3
+        self.deep_cls = np.zeros((0, 0), np.int32)
+        self.deep_len = np.zeros(0, np.int32)
+        self.deep_id_of_row = np.zeros(0, np.int32)
+        self.bucket_max = 0
+        self.has5 = False
+        if self.has4:
+            # last-4 / shifted-last-4 grams by ascending the parent chain
+            lens = depth[didx].astype(np.int64)
+            chain = didx.copy()
+            tails = []  # edge classes from the end: l-1, l-2, ...
+            for _ in range(5):
+                tails.append(edge_cls[chain].astype(np.int64))
+                chain = parent[chain]
+            last4 = tails[0] + K * (
+                tails[1] + K * (tails[2] + K * tails[3])
+            )
+            last4b = tails[1] + K * (
+                tails[2] + K * (tails[3] + K * tails[4])
+            )  # only meaningful for l >= 5
+            # first4: ascend to depth 4 then take that state's g-code
+            cur = didx.copy()
+            rem = lens - 4
+            for _ in range(max(int(lens.max()) - 4, 0)):
+                step = rem > 0
+                cur = np.where(step, parent[cur], cur)
+                rem -= step
+            first4 = g[cur]
+
+            order = np.argsort(last4, kind="stable")
+            last4_s = last4[order]
+            uniq, start = np.unique(last4_s, return_index=True)
+            sizes = np.diff(np.append(start, last4_s.size))
+            if int(sizes.max()) > _MAX_BUCKET:
+                return
+            self.bucket_max = int(sizes.max())
+            self.bucket_off = np.append(start, last4_s.size).astype(np.int32)
+            self.cand_len = lens[order].astype(np.int32)
+            self.cand_start4 = first4[order].astype(np.int32)
+            self.cand_id = word_id[didx][order]
+
+            # exact S4 bitmap over K^4 + rank prefix (popcount bucket index)
+            space4 = K**4
+            words = np.zeros((space4 + 31) // 32, dtype=np.int64)
+            np.bitwise_or.at(words, uniq >> 5, np.int64(1) << (uniq & 31))
+            self.s4_words = words.astype(np.uint32).view(np.int32)
+            pops = np.unpackbits(
+                words.astype(np.uint32).view(np.uint8).reshape(-1, 4),
+                axis=1, bitorder="little",
+            ).sum(axis=1)
+            rank = np.zeros(words.size, np.int64)
+            np.cumsum(pops[:-1], out=rank[1:])
+            self.s4_rank = rank.astype(np.int32)
+
+            # blooms: W4 (exact-4 words), and for l>=5 the suffix pair
+            w4 = np.unique(last4[lens == 4])
+            if w4.size:
+                self.bw4 = _bloom_tables(w4, 2)
+            deep = lens >= 5
+            self.has5 = bool(deep.any())
+            if self.has5:
+                self.bsuf = _bloom_tables(np.unique(last4[deep]), 3)
+                self.bsufb = _bloom_tables(np.unique(last4b[deep]), 3)
+
+            # host verify data for l >= 5: padded class matrices
+            vidx = didx[depth[didx] >= 5]
+            if vidx.size:
+                vl = depth[vidx]
+                L = int(vl.max())
+                mat = np.zeros((vidx.size, L), np.int32)
+                cur = vidx.copy()
+                for t in range(L):
+                    rows = np.nonzero(vl > t)[0]
+                    mat[rows, vl[rows] - 1 - t] = edge_cls[cur[rows]]
+                    cur[rows] = parent[cur[rows]]
+                self.deep_cls = mat
+                self.deep_len = vl.astype(np.int32)
+                rowmap = np.full(P, -1, np.int32)
+                rowmap[word_id[vidx]] = np.arange(vidx.size, dtype=np.int32)
+                self.deep_id_of_row = rowmap
+
+        self.num_patterns = P
+        self.ok = True
+
+    # device-array pytree (built lazily)
+    def device_arrays(self):
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_dev"):
+            z = np.zeros(1, np.int32)
+            self._dev = dict(
+                sc1=jnp.asarray(self.short_codes[0] if self.has[0] else z),
+                si1=jnp.asarray(self.short_ids[0] if self.has[0] else z),
+                sc2=jnp.asarray(self.short_codes[1] if self.has[1] else z),
+                si2=jnp.asarray(self.short_ids[1] if self.has[1] else z),
+                sc3=jnp.asarray(self.short_codes[2] if self.has[2] else z),
+                si3=jnp.asarray(self.short_ids[2] if self.has[2] else z),
+                bw4_0=jnp.asarray(self.bw4[0]),
+                bw4_1=jnp.asarray(self.bw4[1]),
+                bsuf_0=jnp.asarray(self.bsuf[0]),
+                bsuf_1=jnp.asarray(self.bsuf[1]),
+                bsuf_2=jnp.asarray(self.bsuf[2]),
+                bsufb_0=jnp.asarray(self.bsufb[0]),
+                bsufb_1=jnp.asarray(self.bsufb[1]),
+                bsufb_2=jnp.asarray(self.bsufb[2]),
+                s4_words=jnp.asarray(self.s4_words),
+                s4_rank=jnp.asarray(self.s4_rank),
+                bucket_off=jnp.asarray(self.bucket_off),
+                cand_len=jnp.asarray(self.cand_len),
+                cand_start4=jnp.asarray(self.cand_start4),
+                cand_id=jnp.asarray(self.cand_id),
+            )
+        return self._dev
+
+
+def build_tables(compiled: CompiledAutomaton) -> Optional[CascadeTables]:
+    cache = compiled._cache
+    if "cascade" not in cache:
+        try:
+            t = CascadeTables(compiled)
+        except MemoryError:
+            t = None
+        cache["cascade"] = t if (t is not None and t.ok) else None
+    return cache["cascade"]
+
+
+# ---------------------------------------------------------------------------
+# device pipeline
+
+
+def _bilinear_word(tab, idx):
+    """Exact fetch of 16-bit words from a (128,128) f32 table (MXU)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = idx >> 7
+    b = idx & 127
+    iota = jnp.arange(128, dtype=jnp.int32)
+    oh_a = (a[:, None] == iota[None, :]).astype(jnp.float32)
+    r = jax.lax.dot_general(
+        oh_a, tab, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    oh_b = (b[:, None] == iota[None, :]).astype(jnp.float32)
+    return (r * oh_b).sum(axis=1).astype(jnp.int32)
+
+
+def _bilinear_bit(tab, g):
+    w = _bilinear_word(tab, g >> 4)
+    return (w >> (g & 15)) & 1
+
+
+def _bloom_bit(tab, g4u, mult):
+    import jax.numpy as jnp
+
+    h = ((g4u * jnp.uint32(mult)) >> 14).astype(jnp.int32) & (_BLOOM_BITS - 1)
+    return _bilinear_bit(tab, h)
+
+
+def _compact(flags_i32, budget):
+    """positions of set flags, padded with -1; returns (buf, total)."""
+    import jax.numpy as jnp
+
+    csum = jnp.cumsum(flags_i32)
+    total = csum[-1]
+    slot = jnp.where(flags_i32 > 0, csum - 1, budget)
+    buf = jnp.full((budget + 1,), -1, jnp.int32)
+    pos = jnp.arange(flags_i32.shape[0], dtype=jnp.int32)
+    buf = buf.at[jnp.minimum(slot, budget)].set(
+        jnp.where(flags_i32 > 0, pos, -1)
+    )
+    return buf[:budget], total
+
+
+def _make_core(K, has, has4, has5, bucket_max, bbud, cbud, P):
+    # has may be all-False when the caller computes short counts host-side
+    import jax
+    import jax.numpy as jnp
+
+    K2, K3 = K * K, K * K * K
+    chunk = 1 << 18
+    has1, has2, has3 = has
+
+    def core(cls_i8, valid_from, d):
+        N = cls_i8.shape[0]
+        cls = cls_i8.astype(jnp.int32)
+        pos = jnp.arange(N, dtype=jnp.int32)
+        c1 = jnp.pad(cls, (1, 0))[:N]
+        c2 = jnp.pad(cls, (2, 0))[:N]
+        c3 = jnp.pad(cls, (3, 0))[:N]
+        g3 = c2 * K2 + c1 * K + cls
+        g4 = c3 * K3 + g3
+        vstart = valid_from.astype(jnp.int32)
+
+        counts = jnp.zeros((P + 1,), jnp.int32)
+
+        # --- short lengths: ONE dense histogram of 3-gram codes
+        if has1 or has2 or has3:
+            gm = jnp.where(
+                pos >= jnp.maximum(vstart, 2), g3, jnp.int32(K3)
+            )
+            hist = jnp.zeros((K3 + 1,), jnp.int32).at[gm].add(
+                1, mode="drop"
+            )[:K3]
+            if has3:
+                counts = counts.at[d["si3"]].add(
+                    jnp.take(hist, d["sc3"], mode="clip")
+                )
+            if has2:
+                hist2 = hist.reshape(K, K2).sum(axis=0)
+                counts = counts.at[d["si2"]].add(
+                    jnp.take(hist2, d["sc2"], mode="clip")
+                )
+            if has1:
+                hist1 = hist.reshape(K2, K).sum(axis=0)
+                counts = counts.at[d["si1"]].add(
+                    jnp.take(hist1, d["sc1"], mode="clip")
+                )
+
+        deep_pos = jnp.full((_DEEP_BUDGET,), -1, jnp.int32)
+        deep_id = jnp.full((_DEEP_BUDGET,), -1, jnp.int32)
+        dtot = jnp.int32(0)
+        btot = jnp.int32(0)
+        ctot = jnp.int32(0)
+        if has4:
+            # --- dense flags via chunked bilinear bloom fetches
+            pad = (-N) % chunk
+
+            def flags_chunk(cg4):
+                u = cg4.astype(jnp.uint32)
+                fw = _bloom_bit(d["bw4_0"], u, _MULTS[0]) & _bloom_bit(
+                    d["bw4_1"], u, _MULTS[1]
+                )
+                if has5:
+                    fs = jnp.int32(1)
+                    fb = jnp.int32(1)
+                    for j in range(3):
+                        fs = fs & _bloom_bit(d[f"bsuf_{j}"], u, _MULTS[j])
+                        fb = fb & _bloom_bit(d[f"bsufb_{j}"], u, _MULTS[j])
+                else:
+                    fs = jnp.zeros_like(cg4)
+                    fb = jnp.zeros_like(cg4)
+                return fw | (fs << 1) | (fb << 2)
+
+            packed = jax.lax.map(
+                flags_chunk, jnp.pad(g4, (0, pad)).reshape(-1, chunk)
+            ).reshape(-1)[:N]
+            fw4 = packed & 1
+            if has5:
+                # suffix blooms at i AND shifted-suffix blooms at i-1
+                fsuf = (packed >> 1) & 1
+                fb_prev = jnp.pad((packed >> 2) & 1, (1, 0))[:N]
+                f5 = fsuf & fb_prev & (pos >= 4)
+            else:
+                f5 = jnp.zeros_like(fw4)
+            flag = (
+                (fw4 | f5)
+                & (pos >= jnp.maximum(vstart, 3))
+            ).astype(jnp.int8)
+
+            # --- hierarchical compaction: blocks of _BLK chars
+            padb = (-N) % _BLK
+            fpad = jnp.pad(flag, (0, padb))
+            nblk = fpad.shape[0] // _BLK
+            blk_any = fpad.reshape(nblk, _BLK).max(axis=1).astype(jnp.int32)
+            bbuf, btot = _compact(blk_any, bbud)
+            bvalid = bbuf >= 0
+            bpos = (
+                jnp.maximum(bbuf, 0)[:, None] * _BLK
+                + jnp.arange(_BLK, dtype=jnp.int32)[None, :]
+            )  # (bbud, _BLK) absolute positions
+            cflag = jnp.take(fpad, jnp.minimum(bpos, N - 1), mode="clip")
+            cflag = (
+                cflag.astype(jnp.int32)
+                * bvalid[:, None]
+                * (bpos < N)
+            ).reshape(-1)
+            cbuf, ctot = _compact(cflag, cbud)
+            cvalid = cbuf >= 0
+            ep = jnp.take(
+                bpos.reshape(-1), jnp.maximum(cbuf, 0), mode="clip"
+            )  # candidate end positions
+            eg4 = jnp.take(g4, ep, mode="clip")
+
+            # --- exact S4 membership + bucket rank via popcount
+            w = jnp.take(d["s4_words"], eg4 >> 5, mode="clip")
+            hit = cvalid & (((w >> (eg4 & 31)) & 1) > 0)
+            rank = jnp.take(
+                d["s4_rank"], eg4 >> 5, mode="clip"
+            ) + jax.lax.population_count(
+                w & ((jnp.int32(1) << (eg4 & 31)) - 1)
+            )
+            off = jnp.take(d["bucket_off"], rank, mode="clip")
+            end = jnp.take(d["bucket_off"], rank + 1, mode="clip")
+            deep_flag = jnp.zeros((cbud, bucket_max), jnp.int32)
+            deep_ids = jnp.zeros((cbud, bucket_max), jnp.int32)
+            for t in range(bucket_max):
+                ci = off + t
+                live = hit & (ci < end)
+                cl = jnp.take(d["cand_len"], ci, mode="clip")
+                cs4 = jnp.take(d["cand_start4"], ci, mode="clip")
+                cid = jnp.take(d["cand_id"], ci, mode="clip")
+                sp = ep - cl + 4  # end of the match's first 4-gram
+                inb = live & (sp >= 3)
+                okstart = inb & (
+                    jnp.take(g4, jnp.maximum(sp, 0), mode="clip") == cs4
+                )
+                is4 = okstart & (cl == 4)
+                counts = counts.at[jnp.where(is4, cid, P)].add(
+                    1, mode="drop"
+                )
+                isdeep = okstart & (cl >= 5)
+                deep_flag = deep_flag.at[:, t].set(isdeep.astype(jnp.int32))
+                deep_ids = deep_ids.at[:, t].set(cid)
+            dbuf, dtot = _compact(deep_flag.reshape(-1), _DEEP_BUDGET)
+            dvalid = dbuf >= 0
+            di = jnp.maximum(dbuf, 0)
+            deep_pos = jnp.where(
+                dvalid, jnp.take(ep, di // bucket_max, mode="clip"), -1
+            )
+            deep_id = jnp.where(
+                dvalid, jnp.take(deep_ids.reshape(-1), di, mode="clip"), -1
+            )
+
+        return (
+            counts[:P],
+            deep_pos,
+            deep_id,
+            jnp.stack([btot, ctot, dtot]),
+        )
+
+    return jax.jit(core)
+
+
+_CORE_CACHE: dict = {}
+
+
+def _get_core(key):
+    if key not in _CORE_CACHE:
+        _CORE_CACHE[key] = _make_core(*key)
+    return _CORE_CACHE[key]
+
+
+def count_matches_cascade(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: Optional[np.ndarray] = None,
+    staged=None,
+    short_on_host: bool = False,
+) -> Optional[np.ndarray]:
+    """Per-pattern int64 counts, or None if the cascade cannot run (gates,
+    budget overflow).  Exact: every device-side shortcut is either exact or
+    re-verified, and overflow falls back to the caller's classic engine.
+
+    ``staged`` may carry a pre-uploaded device int8 class array (bench use).
+    ``short_on_host`` moves the l<=3 histogram to a host thread running
+    concurrently with the device flag pipeline — the host pass is O(text)
+    with a dictionary-independent constant, so it overlaps the device work
+    entirely on large inputs (and avoids the device's ~7 ns/char scatter).
+    """
+    t = build_tables(compiled)
+    if t is None:
+        return None
+    import jax.numpy as jnp
+
+    if halo is not None and halo.size:
+        H = max(int(compiled.longest_word), 1)
+        h = halo[-H:]
+        full = np.concatenate([h.astype(np.int32), cls])
+        vstart = int(h.size)
+    else:
+        full = cls
+        vstart = 0
+    N = int(full.size)
+    if N == 0:
+        return np.zeros(compiled.num_patterns, np.int64)
+
+    # budgets: full coverage for small inputs; ~2x expected sparse rates for
+    # big ones — overflow means a candidate-dense corpus, where the classic
+    # engine is the right tool anyway (the caller falls back on None).
+    small = N <= (1 << 16)
+    nblk = -(-N // _BLK)
+    bbud = nblk if small else max(1 << 12, nblk >> 3)
+    cbud = N if small else max(1 << 12, N >> 8)
+    any_short = any(t.has)
+    host_short = short_on_host and any_short
+    has_dev = (False, False, False) if host_short else tuple(t.has)
+    key = (
+        t.K, has_dev, t.has4, t.has5,
+        max(t.bucket_max, 1), bbud, cbud, t.num_patterns,
+    )
+    core = _get_core(key)
+    dev = t.device_arrays()
+    if staged is not None:
+        cls_dev = staged
+    else:
+        cls_dev = jnp.asarray(full.astype(np.int8))
+
+    host_thread = None
+    host_box = {}
+    if host_short:
+        import threading
+
+        def _host_hist():
+            host_box["counts"] = _short_counts_host(t, full, vstart)
+
+        host_thread = threading.Thread(target=_host_hist)
+        host_thread.start()
+    counts, deep_pos, deep_id, totals = core(cls_dev, np.int32(vstart), dev)
+    totals = np.asarray(totals)
+    if host_thread is not None:
+        host_thread.join()
+    if totals[0] > bbud or totals[1] > cbud or totals[2] > _DEEP_BUDGET:
+        return None  # budget overflow: caller uses the classic engine
+    counts = np.asarray(counts).astype(np.int64)
+    if host_short:
+        counts += host_box["counts"]
+
+    # host boundary corrections for the l<=2 marginals
+    for ell in (1, 2) if not host_short else ():
+        m = t.short_maps[ell - 1]
+        if not m:
+            continue
+        lo = max(vstart, ell - 1)
+        hi = max(vstart, 2)
+        for p in range(lo, min(hi, N)):
+            code = 0
+            for c in full[max(p - ell + 1, 0) : p + 1]:
+                code = code * t.K + int(c)
+            pid = m.get(code)
+            if pid is not None:
+                counts[pid] += 1
+
+    ndeep = int(totals[2])
+    if ndeep:
+        dp = np.asarray(deep_pos[:ndeep])
+        di = np.asarray(deep_id[:ndeep])
+        counts += _verify_deep_host(t, full, vstart, dp, di)
+    return counts
+
+
+def _verify_deep_host(t: CascadeTables, cls, vstart, dpos, dids):
+    """Exact host verification of l>=5 candidates by full text compare."""
+    counts = np.zeros(t.num_patterns, np.int64)
+    rows = t.deep_id_of_row[dids]
+    lens = t.deep_len[rows].astype(np.int64)
+    okb = (dpos - lens + 1 >= 0) & (rows >= 0)
+    L = t.deep_cls.shape[1]
+    starts = np.maximum(dpos.astype(np.int64) - lens + 1, 0)
+    win = starts[:, None] + np.arange(L)[None, :]
+    win = np.minimum(win, cls.size - 1)
+    text = np.asarray(cls, np.int32)[win]
+    patt = t.deep_cls[rows]
+    lmask = np.arange(L)[None, :] < lens[:, None]
+    eq = ((text == patt) | ~lmask).all(axis=1) & okb
+    np.add.at(counts, dids[eq], 1)
+    return counts
+
+
+def _short_counts_host(t: CascadeTables, full, vstart):
+    """Exact l<=3 counts on the host: one vectorized 3-gram histogram plus
+    marginals and boundary corrections (numpy releases the GIL, so this
+    overlaps the device flag pipeline)."""
+    K = t.K
+    K2, K3 = K * K, K * K * K
+    cls = np.asarray(full, np.int64)
+    N = cls.size
+    counts = np.zeros(t.num_patterns, np.int64)
+    lo3 = max(vstart, 2)
+    if N > lo3:
+        g3 = cls[lo3:] + K * cls[lo3 - 1 : N - 1] + K2 * cls[lo3 - 2 : N - 2]
+        hist = np.bincount(g3, minlength=K3)
+        if t.has[2]:
+            counts[t.short_ids[2]] += hist[t.short_codes[2]]
+        if t.has[1]:
+            hist2 = hist.reshape(K, K2).sum(axis=0)
+            counts[t.short_ids[1]] += hist2[t.short_codes[1]]
+        if t.has[0]:
+            hist1 = hist.reshape(K2, K).sum(axis=0)
+            counts[t.short_ids[0]] += hist1[t.short_codes[0]]
+    for ell in (1, 2):
+        m = t.short_maps[ell - 1]
+        if not m:
+            continue
+        lo = max(vstart, ell - 1)
+        hi = max(vstart, 2)
+        for p in range(lo, min(hi, N)):
+            code = 0
+            for c in cls[max(p - ell + 1, 0) : p + 1]:
+                code = code * K + int(c)
+            pid = m.get(code)
+            if pid is not None:
+                counts[pid] += 1
+    return counts
