@@ -834,6 +834,18 @@ void aho_resolve_states(const int32_t* delta, int32_t K, const int32_t* cls,
     }
 }
 
+// 3-gram-code histogram over positions >= max(start, 2): the host half of
+// the cascade engine's hybrid mode (ops/cascade.py) — one cache-hot pass
+// (~2 ns/char) so the l<=3 counts overlap the device flag pipeline instead
+// of paying the TPU's ~7 ns/char scatter.  hist must hold K^3 zeroed bins.
+void aho_hist3(const int32_t* cls, int64_t n, int32_t K, int64_t start,
+               int64_t* hist) {
+    const int64_t K2 = (int64_t)K * K;
+    int64_t i = start < 2 ? 2 : start;
+    for (; i < n; i++)
+        hist[(int64_t)cls[i - 2] * K2 + (int64_t)cls[i - 1] * K + cls[i]]++;
+}
+
 // iter_long exact replay on the dense DFA
 // (reference src/AutomatonSearchIterLong.c:100-152; see iterators.py for the
 // depth-delta derivation of "a goto edge was taken").  Scans cls[index+1:end],

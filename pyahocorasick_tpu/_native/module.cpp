@@ -613,6 +613,19 @@ PyObject* m_resolve_states(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     Py_RETURN_NONE;
 }
 
+PyObject* m_hist3(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // cls(i32), K, start, hist(i64 w, zeroed by caller, K^3 bins)
+    long K = PyLong_AsLong(args[1]);
+    long long start = PyLong_AsLongLong(args[2]);
+    Buffers b;
+    if (!b.grab(args[0], false) || !b.grab(args[3], true)) return NULL;
+    Py_BEGIN_ALLOW_THREADS
+    aho_hist3((const int32_t*)b.buf(0), b.len(0) / 4, (int32_t)K, start,
+              (int64_t*)b.buf(1));
+    Py_END_ALLOW_THREADS
+    Py_RETURN_NONE;
+}
+
 PyObject* m_iter_long_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     // delta, K, depth, word_id, fail, cls, end, state(4-tuple),
     // out_pos, out_pid, cap  ->  (n, state-tuple)
@@ -678,6 +691,7 @@ PyMethodDef methods[] = {
     {"scan_states_blocked", (PyCFunction)(void*)m_scan_states_blocked, METH_FASTCALL, ""},
     {"emit_from_states", (PyCFunction)(void*)m_emit_from_states, METH_FASTCALL, ""},
     {"resolve_states", (PyCFunction)(void*)m_resolve_states, METH_FASTCALL, ""},
+    {"hist3", (PyCFunction)(void*)m_hist3, METH_FASTCALL, ""},
     {"iter_long_scan", (PyCFunction)(void*)m_iter_long_scan, METH_FASTCALL, ""},
     {NULL, NULL, 0, NULL},
 };

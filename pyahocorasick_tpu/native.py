@@ -410,6 +410,19 @@ def resolve_states(compiled, cls: np.ndarray, positions: np.ndarray) -> np.ndarr
     return out
 
 
+def hist3(cls: np.ndarray, K: int, start: int = 0):
+    """3-gram-code histogram (int64, K**3 bins) over positions >=
+    max(start, 2), or None when the extension is unavailable.  Releases the
+    GIL, so it overlaps device dispatch in the cascade hybrid mode."""
+    ext = _load()
+    if ext is None or not hasattr(ext, "hist3"):
+        return None
+    cls = np.ascontiguousarray(cls, dtype=np.int32)
+    hist = np.zeros(int(K) ** 3, np.int64)
+    ext.hist3(cls, int(K), int(start), hist)
+    return hist
+
+
 def iter_long_scan(compiled, cls: np.ndarray, end: int, state_tuple, cap=None):
     """Batch iter_long over cls[state.index+1:end].
 

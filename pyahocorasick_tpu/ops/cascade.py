@@ -47,7 +47,11 @@ from ..compiler import CompiledAutomaton
 # gates
 _MAX_K = 64  # K^4 codes must stay well under 2^31; hist3 = K^3+1 bins
 _MAX_BUCKET = 8  # max patterns sharing a last-4-gram before we bail
-_BLOOM_BITS = 1 << 18  # bits per bloom table (one bilinear table each)
+# Each bloom table is one (128,128) f32 bilinear table = 16384 words; f32
+# round-trips integers exactly up to 2^24, so each word packs 24 bloom bits
+# (393216 bits/table — 1.5x the naive 16-bit packing at identical MXU cost).
+_BLOOM_WORDS = 1 << 14
+_BLOOM_WBITS = 24
 _DEEP_BUDGET = 1 << 14  # device->host candidate budget for l>=5
 _BLK = 32  # block size for hierarchical candidate compaction
 
@@ -55,21 +59,25 @@ _MULTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE35)
 
 
 def _bloom_tables(codes: np.ndarray, ntables: int) -> list:
+    # hash -> (word, bit): 14 high hash bits pick the word; 5 more bits map
+    # near-uniformly onto [0, 24) via (b*24)>>5.  Host/device mirrored.
     tabs = []
     for mult in _MULTS[:ntables]:
         h = (codes.astype(np.uint64) * mult) & 0xFFFFFFFF
-        h = ((h >> 14) & (_BLOOM_BITS - 1)).astype(np.int64)
-        bb = np.zeros(_BLOOM_BITS // 16, dtype=np.int64)
-        np.bitwise_or.at(bb, h >> 4, np.int64(1) << (h & 15))
+        widx = ((h >> 18) & (_BLOOM_WORDS - 1)).astype(np.int64)
+        bit = ((((h >> 13) & 31) * _BLOOM_WBITS) >> 5).astype(np.int64)
+        bb = np.zeros(_BLOOM_WORDS, dtype=np.int64)
+        np.bitwise_or.at(bb, widx, np.int64(1) << bit)
         tabs.append(_to_bilinear(bb))
     return tabs
 
 
-def _to_bilinear(words16: np.ndarray) -> np.ndarray:
-    """Pack <=16384 16-bit words into the (128,128) f32 bilinear table."""
-    assert words16.size <= 16384, words16.size
+def _to_bilinear(words: np.ndarray) -> np.ndarray:
+    """Pack <=16384 words (< 2^24 each) into the (128,128) f32 table."""
+    assert words.size <= 16384, words.size
+    assert words.size == 0 or int(words.max()) < (1 << 24)
     tab = np.zeros(16384, np.float32)
-    tab[: words16.size] = words16.astype(np.float32)
+    tab[: words.size] = words.astype(np.float32)
     return tab.reshape(128, 128)
 
 
@@ -272,16 +280,13 @@ def _bilinear_word(tab, idx):
     return (r * oh_b).sum(axis=1).astype(jnp.int32)
 
 
-def _bilinear_bit(tab, g):
-    w = _bilinear_word(tab, g >> 4)
-    return (w >> (g & 15)) & 1
-
-
 def _bloom_bit(tab, g4u, mult):
     import jax.numpy as jnp
 
-    h = ((g4u * jnp.uint32(mult)) >> 14).astype(jnp.int32) & (_BLOOM_BITS - 1)
-    return _bilinear_bit(tab, h)
+    h = g4u * jnp.uint32(mult)
+    widx = ((h >> 18) & (_BLOOM_WORDS - 1)).astype(jnp.int32)
+    bit = (((h >> 13) & 31).astype(jnp.int32) * _BLOOM_WBITS) >> 5
+    return (_bilinear_word(tab, widx) >> bit) & 1
 
 
 def _compact(flags_i32, budget):
@@ -590,13 +595,19 @@ def _short_counts_host(t: CascadeTables, full, vstart):
     overlaps the device flag pipeline)."""
     K = t.K
     K2, K3 = K * K, K * K * K
-    cls = np.asarray(full, np.int64)
+    cls = np.asarray(full)
     N = cls.size
     counts = np.zeros(t.num_patterns, np.int64)
     lo3 = max(vstart, 2)
     if N > lo3:
-        g3 = cls[lo3:] + K * cls[lo3 - 1 : N - 1] + K2 * cls[lo3 - 2 : N - 2]
-        hist = np.bincount(g3, minlength=K3)
+        from .. import native
+
+        hist = native.hist3(cls, K, lo3)
+        if hist is None:  # pure-python fallback
+            g3 = (
+                cls[lo3:] + K * cls[lo3 - 1 : N - 1] + K2 * cls[lo3 - 2 : N - 2]
+            )
+            hist = np.bincount(g3, minlength=K3)
         if t.has[2]:
             counts[t.short_ids[2]] += hist[t.short_codes[2]]
         if t.has[1]:
