@@ -180,9 +180,16 @@ def count_matches(
         # Returns None when gated out (alphabet too wide, shared-suffix
         # buckets too deep, candidate budgets overflowed) — exact otherwise.
         try:
+            from . import native
             from .ops import cascade as cascade_ops
 
-            res = cascade_ops.count_matches_cascade(compiled, cls, halo)
+            # hybrid: the l<=3 histogram runs on the host (native hist3,
+            # ~2 ns/char, GIL-released) overlapped with the device flag
+            # pipeline — the device-side scatter is the engine's single
+            # most expensive op (~7 ns/char, see PLAN.md)
+            res = cascade_ops.count_matches_cascade(
+                compiled, cls, halo, short_on_host=native.available()
+            )
             if res is not None:
                 return res
         except ImportError:
