@@ -617,8 +617,14 @@ PyObject* m_hist3(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     // cls(i32), K, start, hist(i64 w, zeroed by caller, K^3 bins)
     long K = PyLong_AsLong(args[1]);
     long long start = PyLong_AsLongLong(args[2]);
+    if (PyErr_Occurred()) return NULL;  // non-int K/start
     Buffers b;
     if (!b.grab(args[0], false) || !b.grab(args[3], true)) return NULL;
+    if (K < 1 || b.len(1) != (int64_t)K * K * K * 8) {
+        PyErr_SetString(PyExc_ValueError,
+                        "hist3: hist buffer must hold K^3 int64 bins");
+        return NULL;
+    }
     Py_BEGIN_ALLOW_THREADS
     aho_hist3((const int32_t*)b.buf(0), b.len(0) / 4, (int32_t)K, start,
               (int64_t*)b.buf(1));

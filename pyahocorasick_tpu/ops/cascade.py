@@ -264,7 +264,11 @@ def build_tables(compiled: CompiledAutomaton) -> Optional[CascadeTables]:
 
 
 def _bilinear_word(tab, idx):
-    """Exact fetch of 16-bit words from a (128,128) f32 table (MXU)."""
+    """Exact fetch of packed words < 2**24 from a (128,128) f32 table (MXU).
+
+    Exactness is load-bearing: f32 round-trips integers up to 2**24, and the
+    dot runs at ``Precision.HIGHEST`` so no intermediate drops mantissa bits
+    (``_to_bilinear`` asserts the < 2**24 invariant on the host side)."""
     import jax
     import jax.numpy as jnp
 
@@ -534,7 +538,10 @@ def count_matches_cascade(
         import threading
 
         def _host_hist():
-            host_box["counts"] = _short_counts_host(t, full, vstart)
+            try:
+                host_box["counts"] = _short_counts_host(t, full, vstart)
+            except BaseException as exc:  # noqa: BLE001 — recompute on main
+                host_box["error"] = exc
 
         host_thread = threading.Thread(target=_host_hist)
         host_thread.start()
@@ -546,6 +553,10 @@ def count_matches_cascade(
         return None  # budget overflow: caller uses the classic engine
     counts = np.asarray(counts).astype(np.int64)
     if host_short:
+        if "counts" not in host_box:
+            # the histogram thread died (e.g. MemoryError on the K^3 hist):
+            # fall back to the exact classic engine rather than raising
+            return None
         counts += host_box["counts"]
 
     # host boundary corrections for the l<=2 marginals
@@ -604,8 +615,11 @@ def _short_counts_host(t: CascadeTables, full, vstart):
 
         hist = native.hist3(cls, K, lo3)
         if hist is None:  # pure-python fallback
+            # int64 up front: K2 * cls must not overflow narrow input dtypes
             g3 = (
-                cls[lo3:] + K * cls[lo3 - 1 : N - 1] + K2 * cls[lo3 - 2 : N - 2]
+                cls[lo3:].astype(np.int64)
+                + K * cls[lo3 - 1 : N - 1].astype(np.int64)
+                + K2 * cls[lo3 - 2 : N - 2].astype(np.int64)
             )
             hist = np.bincount(g3, minlength=K3)
         if t.has[2]:
