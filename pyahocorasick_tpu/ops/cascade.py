@@ -47,37 +47,58 @@ from ..compiler import CompiledAutomaton
 # gates
 _MAX_K = 64  # K^4 codes must stay well under 2^31; hist3 = K^3+1 bins
 _MAX_BUCKET = 8  # max patterns sharing a last-4-gram before we bail
-# Each bloom table is one (128,128) f32 bilinear table = 16384 words; f32
+# Each f32 bloom table is one (128,128) bilinear table = 16384 words; f32
 # round-trips integers exactly up to 2^24, so each word packs 24 bloom bits
-# (393216 bits/table — 1.5x the naive 16-bit packing at identical MXU cost).
+# (393216 bits/table).  Small families use bf16 tables instead: same 16384
+# words but only 8 exact bits each (131072 bits) at 1/3 the MXU passes —
+# the probed roofline is ~790k bloom-bits/ns for BOTH dtypes
+# (tools/probe_mxu.py: f32-HIGHEST 0.51 ns, bf16 0.17 ns per 128x128 fetch),
+# so dtype choice is purely a table-granularity knob.
 _BLOOM_WORDS = 1 << 14
 _BLOOM_WBITS = 24
+_BLOOM_WBITS_BF16 = 8
 _DEEP_BUDGET = 1 << 14  # device->host candidate budget for l>=5
 _BLK = 32  # block size for hierarchical candidate compaction
 
 _MULTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE35)
 
 
-def _bloom_tables(codes: np.ndarray, ntables: int) -> list:
-    # hash -> (word, bit): 14 high hash bits pick the word; 5 more bits map
-    # near-uniformly onto [0, 24) via (b*24)>>5.  Host/device mirrored.
+def _bloom_tables(
+    codes: np.ndarray, wbits_list: tuple = (_BLOOM_WBITS,) * 2
+) -> list:
+    # hash -> (word, bit): 14 high hash bits pick the word; the bit is a
+    # uniform modulo of the next hash bits (a biased mapping like (b*24)>>5
+    # doubles the fill rate on half the bits and measurably raises the
+    # false-positive rate).  Host/device mirrored (_bloom_bit).
     tabs = []
-    for mult in _MULTS[:ntables]:
+    for mult, wbits in zip(_MULTS, wbits_list):
         h = (codes.astype(np.uint64) * mult) & 0xFFFFFFFF
         widx = ((h >> 18) & (_BLOOM_WORDS - 1)).astype(np.int64)
-        bit = ((((h >> 13) & 31) * _BLOOM_WBITS) >> 5).astype(np.int64)
+        bit = ((h & 8191) % wbits).astype(np.int64)  # bits disjoint from widx
         bb = np.zeros(_BLOOM_WORDS, dtype=np.int64)
         np.bitwise_or.at(bb, widx, np.int64(1) << bit)
-        tabs.append(_to_bilinear(bb))
+        tabs.append(_to_bilinear(bb, wbits))
     return tabs
 
 
-def _to_bilinear(words: np.ndarray) -> np.ndarray:
-    """Pack <=16384 words (< 2^24 each) into the (128,128) f32 table."""
+def _to_bilinear(words: np.ndarray, wbits: int = _BLOOM_WBITS) -> np.ndarray:
+    """Pack <=16384 words into a (128,128) bilinear table.
+
+    wbits <= 8 packs into bf16 (exact to 2^8, 1 MXU pass at HIGHEST);
+    wbits <= 24 packs into f32 (exact to 2^24, 3 bf16 passes)."""
     assert words.size <= 16384, words.size
-    assert words.size == 0 or int(words.max()) < (1 << 24)
-    tab = np.zeros(16384, np.float32)
-    tab[: words.size] = words.astype(np.float32)
+    assert words.size == 0 or int(words.max()) < (1 << wbits)
+    if wbits <= _BLOOM_WBITS_BF16:
+        try:
+            import jax.numpy as jnp
+
+            dt = jnp.bfloat16
+        except ImportError:  # numpy-only environments: f32 is always exact
+            dt = np.float32
+        tab = np.zeros(16384, dt)
+    else:
+        tab = np.zeros(16384, np.float32)
+    tab[: words.size] = words.astype(tab.dtype)
     return tab.reshape(128, 128)
 
 
@@ -130,10 +151,22 @@ class CascadeTables:
         self.cand_len = self.cand_start4 = self.cand_id = np.zeros(0, np.int32)
         self.s4_words = np.zeros(1, np.int32)
         self.s4_rank = np.zeros(1, np.int32)
+        # bloom configs: (wbits per hash table); 24 -> f32 table (393k bits,
+        # ~0.51 ns/lookup), 8 -> bf16 table (131k bits, ~0.17 ns/lookup).
+        # w4 holds few entries (length-4 words only) so two cheap bf16
+        # tables suffice; suf/sufb get two f32 + one bf16 — joint FP for the
+        # suf&sufb AND ~0.05% at 100k patterns, at 2.7 ns/char total vs the
+        # round-1 config's 4.4 ns (six f32 tables).
+        self.wbits_w4 = (8, 8)
+        self.wbits_suf = (24, 24, 8)
         zero_bloom = _to_bilinear(np.zeros(1, np.int64))
-        self.bw4 = [zero_bloom] * 2
-        self.bsuf = [zero_bloom] * 3
-        self.bsufb = [zero_bloom] * 3
+        zero_bloom8 = _to_bilinear(np.zeros(1, np.int64), _BLOOM_WBITS_BF16)
+        self.ksuf = len(self.wbits_suf)
+        self.bw4 = [zero_bloom8] * len(self.wbits_w4)
+        self.bsuf = [
+            zero_bloom if w > 8 else zero_bloom8 for w in self.wbits_suf
+        ]
+        self.bsufb = list(self.bsuf)
         self.deep_cls = np.zeros((0, 0), np.int32)
         self.deep_len = np.zeros(0, np.int32)
         self.deep_id_of_row = np.zeros(0, np.int32)
@@ -187,15 +220,22 @@ class CascadeTables:
             np.cumsum(pops[:-1], out=rank[1:])
             self.s4_rank = rank.astype(np.int32)
 
-            # blooms: W4 (exact-4 words), and for l>=5 the suffix pair
+            # blooms: W4 (exact-4 words, few entries -> cheap bf16 tables),
+            # and for l>=5 the suffix pair.  k=2 hash tables per family keeps
+            # the joint suf&sufb false-positive rate ~(n/m)^4 well under the
+            # compaction budget for n <= _K3_ENTRIES; denser dictionaries get
+            # a third table instead of overflowing into the classic engine.
             w4 = np.unique(last4[lens == 4])
             if w4.size:
-                self.bw4 = _bloom_tables(w4, 2)
+                self.bw4 = _bloom_tables(w4, self.wbits_w4)
             deep = lens >= 5
             self.has5 = bool(deep.any())
             if self.has5:
-                self.bsuf = _bloom_tables(np.unique(last4[deep]), 3)
-                self.bsufb = _bloom_tables(np.unique(last4b[deep]), 3)
+                suf_u = np.unique(last4[deep])
+                sufb_u = np.unique(last4b[deep])
+                self.ksuf = len(self.wbits_suf)
+                self.bsuf = _bloom_tables(suf_u, self.wbits_suf)
+                self.bsufb = _bloom_tables(sufb_u, self.wbits_suf)
 
             # host verify data for l >= 5: padded class matrices
             vidx = didx[depth[didx] >= 5]
@@ -232,12 +272,14 @@ class CascadeTables:
                 si3=jnp.asarray(self.short_ids[2] if self.has[2] else z),
                 bw4_0=jnp.asarray(self.bw4[0]),
                 bw4_1=jnp.asarray(self.bw4[1]),
-                bsuf_0=jnp.asarray(self.bsuf[0]),
-                bsuf_1=jnp.asarray(self.bsuf[1]),
-                bsuf_2=jnp.asarray(self.bsuf[2]),
-                bsufb_0=jnp.asarray(self.bsufb[0]),
-                bsufb_1=jnp.asarray(self.bsufb[1]),
-                bsufb_2=jnp.asarray(self.bsufb[2]),
+                **{
+                    f"bsuf_{j}": jnp.asarray(self.bsuf[j])
+                    for j in range(len(self.bsuf))
+                },
+                **{
+                    f"bsufb_{j}": jnp.asarray(self.bsufb[j])
+                    for j in range(len(self.bsufb))
+                },
                 s4_words=jnp.asarray(self.s4_words),
                 s4_rank=jnp.asarray(self.s4_rank),
                 bucket_off=jnp.asarray(self.bucket_off),
@@ -264,32 +306,34 @@ def build_tables(compiled: CompiledAutomaton) -> Optional[CascadeTables]:
 
 
 def _bilinear_word(tab, idx):
-    """Exact fetch of packed words < 2**24 from a (128,128) f32 table (MXU).
+    """Exact fetch of packed words from a (128,128) bilinear table (MXU).
 
-    Exactness is load-bearing: f32 round-trips integers up to 2**24, and the
-    dot runs at ``Precision.HIGHEST`` so no intermediate drops mantissa bits
-    (``_to_bilinear`` asserts the < 2**24 invariant on the host side)."""
+    Exactness is load-bearing: f32 round-trips integers up to 2**24 (bf16
+    tables up to 2**8), and the dot runs at ``Precision.HIGHEST`` with f32
+    accumulation so no intermediate drops mantissa bits (``_to_bilinear``
+    asserts the packing invariant on the host side)."""
     import jax
     import jax.numpy as jnp
 
     a = idx >> 7
     b = idx & 127
     iota = jnp.arange(128, dtype=jnp.int32)
-    oh_a = (a[:, None] == iota[None, :]).astype(jnp.float32)
+    oh_a = (a[:, None] == iota[None, :]).astype(tab.dtype)
     r = jax.lax.dot_general(
         oh_a, tab, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
-    oh_b = (b[:, None] == iota[None, :]).astype(jnp.float32)
-    return (r * oh_b).sum(axis=1).astype(jnp.int32)
+    oh_b = b[:, None] == iota[None, :]
+    return jnp.where(oh_b, r, 0.0).sum(axis=1).astype(jnp.int32)
 
 
-def _bloom_bit(tab, g4u, mult):
+def _bloom_bit(tab, g4u, mult, wbits=_BLOOM_WBITS):
     import jax.numpy as jnp
 
     h = g4u * jnp.uint32(mult)
     widx = ((h >> 18) & (_BLOOM_WORDS - 1)).astype(jnp.int32)
-    bit = (((h >> 13) & 31).astype(jnp.int32) * _BLOOM_WBITS) >> 5
+    bit = (h & 8191).astype(jnp.int32) % wbits
     return (_bilinear_word(tab, widx) >> bit) & 1
 
 
@@ -308,13 +352,15 @@ def _compact(flags_i32, budget):
     return buf[:budget], total
 
 
-def _make_core(K, has, has4, has5, bucket_max, bbud, cbud, P):
+def _make_core(K, has, has4, has5, wbits_w4, wbits_suf, bucket_max, bbud, cbud, P):
     # has may be all-False when the caller computes short counts host-side
     import jax
     import jax.numpy as jnp
 
     K2, K3 = K * K, K * K * K
-    chunk = 1 << 18
+    # chunking bounds the (chunk, 128) onehot intermediates of the bloom
+    # fetches (2^18 -> ~128 MB per live buffer)
+    chunk = 1 << int(os.environ.get("PYAHOCORASICK_TPU_CHUNK_LOG2", 18))
     has1, has2, has3 = has
 
     def core(cls_i8, valid_from, d):
@@ -364,15 +410,15 @@ def _make_core(K, has, has4, has5, bucket_max, bbud, cbud, P):
 
             def flags_chunk(cg4):
                 u = cg4.astype(jnp.uint32)
-                fw = _bloom_bit(d["bw4_0"], u, _MULTS[0]) & _bloom_bit(
-                    d["bw4_1"], u, _MULTS[1]
-                )
+                fw = jnp.int32(1)
+                for j, wb in enumerate(wbits_w4):
+                    fw = fw & _bloom_bit(d[f"bw4_{j}"], u, _MULTS[j], wb)
                 if has5:
                     fs = jnp.int32(1)
                     fb = jnp.int32(1)
-                    for j in range(3):
-                        fs = fs & _bloom_bit(d[f"bsuf_{j}"], u, _MULTS[j])
-                        fb = fb & _bloom_bit(d[f"bsufb_{j}"], u, _MULTS[j])
+                    for j, wb in enumerate(wbits_suf):
+                        fs = fs & _bloom_bit(d[f"bsuf_{j}"], u, _MULTS[j], wb)
+                        fb = fb & _bloom_bit(d[f"bsufb_{j}"], u, _MULTS[j], wb)
                 else:
                     fs = jnp.zeros_like(cg4)
                     fb = jnp.zeros_like(cg4)
@@ -522,7 +568,7 @@ def count_matches_cascade(
     host_short = short_on_host and any_short
     has_dev = (False, False, False) if host_short else tuple(t.has)
     key = (
-        t.K, has_dev, t.has4, t.has5,
+        t.K, has_dev, t.has4, t.has5, t.wbits_w4, t.wbits_suf,
         max(t.bucket_max, 1), bbud, cbud, t.num_patterns,
     )
     core = _get_core(key)
