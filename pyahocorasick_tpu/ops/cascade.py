@@ -352,7 +352,9 @@ def _compact(flags_i32, budget):
     return buf[:budget], total
 
 
-def _make_core(K, has, has4, has5, wbits_w4, wbits_suf, bucket_max, bbud, cbud, P):
+def _make_core(
+    K, has, has4, has5, wbits_w4, wbits_suf, bucket_max, bbud, sbud, cbud, P
+):
     # has may be all-False when the caller computes short counts host-side
     import jax
     import jax.numpy as jnp
@@ -403,6 +405,7 @@ def _make_core(K, has, has4, has5, wbits_w4, wbits_suf, bucket_max, bbud, cbud, 
         deep_id = jnp.full((_DEEP_BUDGET,), -1, jnp.int32)
         dtot = jnp.int32(0)
         btot = jnp.int32(0)
+        stot = jnp.int32(0)
         ctot = jnp.int32(0)
         if has4:
             # --- dense flags via chunked bilinear bloom fetches
@@ -440,27 +443,46 @@ def _make_core(K, has, has4, has5, wbits_w4, wbits_suf, bucket_max, bbud, cbud, 
                 & (pos >= jnp.maximum(vstart, 3))
             ).astype(jnp.int8)
 
-            # --- hierarchical compaction: blocks of _BLK chars
+            # --- 3-level hierarchical compaction: 32-blocks -> 8-blocks ->
+            # positions.  XLA scatters cost ~7.5 ns/source-element, so each
+            # level's compaction must run over a budget-sized array, never a
+            # N-proportional one: level-1 scatters N/32, level-2 bbud*4,
+            # level-3 sbud*8 (sbud = cbud; a live 8-block implies >= 1
+            # candidate so the count can never exceed ctot <= cbud).
             padb = (-N) % _BLK
             fpad = jnp.pad(flag, (0, padb))
             nblk = fpad.shape[0] // _BLK
-            blk_any = fpad.reshape(nblk, _BLK).max(axis=1).astype(jnp.int32)
+            f8 = fpad.reshape(nblk * 4, 8).max(axis=1)  # any per 8-chars
+            blk_any = f8.reshape(nblk, 4).max(axis=1).astype(jnp.int32)
             bbuf, btot = _compact(blk_any, bbud)
             bvalid = bbuf >= 0
-            bpos = (
-                jnp.maximum(bbuf, 0)[:, None] * _BLK
-                + jnp.arange(_BLK, dtype=jnp.int32)[None, :]
-            )  # (bbud, _BLK) absolute positions
-            cflag = jnp.take(fpad, jnp.minimum(bpos, N - 1), mode="clip")
-            cflag = (
-                cflag.astype(jnp.int32)
+            s8pos = (
+                jnp.maximum(bbuf, 0)[:, None] * 4
+                + jnp.arange(4, dtype=jnp.int32)[None, :]
+            )  # (bbud, 4) indices into f8
+            sflag = (
+                jnp.take(f8, jnp.minimum(s8pos, nblk * 4 - 1), mode="clip")
+                .astype(jnp.int32)
                 * bvalid[:, None]
-                * (bpos < N)
+            ).reshape(-1)
+            sbuf, stot = _compact(sflag, sbud)
+            svalid = sbuf >= 0
+            g8 = jnp.take(
+                s8pos.reshape(-1), jnp.maximum(sbuf, 0), mode="clip"
+            )  # live 8-block global index
+            cpos = (
+                g8[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, :]
+            )  # (sbud, 8) absolute char positions
+            cflag = (
+                jnp.take(fpad, jnp.minimum(cpos, N - 1), mode="clip")
+                .astype(jnp.int32)
+                * svalid[:, None]
+                * (cpos < N)
             ).reshape(-1)
             cbuf, ctot = _compact(cflag, cbud)
             cvalid = cbuf >= 0
             ep = jnp.take(
-                bpos.reshape(-1), jnp.maximum(cbuf, 0), mode="clip"
+                cpos.reshape(-1), jnp.maximum(cbuf, 0), mode="clip"
             )  # candidate end positions
             eg4 = jnp.take(g4, ep, mode="clip")
 
@@ -508,7 +530,7 @@ def _make_core(K, has, has4, has5, wbits_w4, wbits_suf, bucket_max, bbud, cbud, 
             counts[:P],
             deep_pos,
             deep_id,
-            jnp.stack([btot, ctot, dtot]),
+            jnp.stack([btot, stot, ctot, dtot]),
         )
 
     return jax.jit(core)
@@ -564,12 +586,13 @@ def count_matches_cascade(
     nblk = -(-N // _BLK)
     bbud = nblk if small else max(1 << 12, nblk >> 3)
     cbud = N if small else max(1 << 12, N >> 8)
+    sbud = cbud  # a live 8-block contains >= 1 candidate, so stot <= ctot
     any_short = any(t.has)
     host_short = short_on_host and any_short
     has_dev = (False, False, False) if host_short else tuple(t.has)
     key = (
         t.K, has_dev, t.has4, t.has5, t.wbits_w4, t.wbits_suf,
-        max(t.bucket_max, 1), bbud, cbud, t.num_patterns,
+        max(t.bucket_max, 1), bbud, sbud, cbud, t.num_patterns,
     )
     core = _get_core(key)
     dev = t.device_arrays()
@@ -595,7 +618,12 @@ def count_matches_cascade(
     totals = np.asarray(totals)
     if host_thread is not None:
         host_thread.join()
-    if totals[0] > bbud or totals[1] > cbud or totals[2] > _DEEP_BUDGET:
+    if (
+        totals[0] > bbud
+        or totals[1] > sbud
+        or totals[2] > cbud
+        or totals[3] > _DEEP_BUDGET
+    ):
         return None  # budget overflow: caller uses the classic engine
     counts = np.asarray(counts).astype(np.int64)
     if host_short:
@@ -620,7 +648,7 @@ def count_matches_cascade(
             if pid is not None:
                 counts[pid] += 1
 
-    ndeep = int(totals[2])
+    ndeep = int(totals[3])
     if ndeep:
         dp = np.asarray(deep_pos[:ndeep])
         di = np.asarray(deep_id[:ndeep])
