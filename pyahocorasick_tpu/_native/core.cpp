@@ -923,4 +923,50 @@ int64_t aho_iter_long_scan(const int32_t* delta, int32_t K, const int32_t* depth
     return written;
 }
 
+// Short-pattern (length <= 3) match emission for the cascade hybrid: a
+// length-l match at end i is exactly a hit in the K^l id LUT, so one linear
+// pass finds every short match (the host analog of the device's exact
+// bitmap path; overlaps the device l>=4 windows).  Null luts = no patterns
+// of that length.  Order within a position: length descending, which is the
+// reference's fail-chain emission order (src/AutomatonSearchIter.c:157-197).
+int64_t aho_emit_short_count(const int32_t* cls, int64_t n, int32_t K,
+                             int64_t vstart, const int32_t* lut1,
+                             const int32_t* lut2, const int32_t* lut3) {
+    int64_t cnt = 0;
+    const int64_t K2 = (int64_t)K * K;
+    for (int64_t i = vstart > 0 ? vstart : 0; i < n; ++i) {
+        const int32_t c0 = cls[i];
+        if (lut3 && i >= 2 &&
+            lut3[(int64_t)cls[i - 2] * K2 + (int64_t)cls[i - 1] * K + c0] >= 0)
+            ++cnt;
+        if (lut2 && i >= 1 && lut2[(int64_t)cls[i - 1] * K + c0] >= 0) ++cnt;
+        if (lut1 && lut1[c0] >= 0) ++cnt;
+    }
+    return cnt;
+}
+
+void aho_emit_short_fill(const int32_t* cls, int64_t n, int32_t K,
+                         int64_t vstart, const int32_t* lut1,
+                         const int32_t* lut2, const int32_t* lut3,
+                         int64_t* out_pos, int32_t* out_id) {
+    int64_t k = 0;
+    const int64_t K2 = (int64_t)K * K;
+    for (int64_t i = vstart > 0 ? vstart : 0; i < n; ++i) {
+        const int32_t c0 = cls[i];
+        if (lut3 && i >= 2) {
+            int32_t id =
+                lut3[(int64_t)cls[i - 2] * K2 + (int64_t)cls[i - 1] * K + c0];
+            if (id >= 0) { out_pos[k] = i; out_id[k] = id; ++k; }
+        }
+        if (lut2 && i >= 1) {
+            int32_t id = lut2[(int64_t)cls[i - 1] * K + c0];
+            if (id >= 0) { out_pos[k] = i; out_id[k] = id; ++k; }
+        }
+        if (lut1) {
+            int32_t id = lut1[c0];
+            if (id >= 0) { out_pos[k] = i; out_id[k] = id; ++k; }
+        }
+    }
+}
+
 }  // extern "C"

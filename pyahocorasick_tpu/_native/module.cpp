@@ -632,6 +632,52 @@ PyObject* m_hist3(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     Py_RETURN_NONE;
 }
 
+PyObject* m_emit_short(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // cls(i32), K, vstart, lut1(i32), lut2(i32), lut3(i32) -> (pos i64, id i32)
+    // zero-length luts mean "no patterns of that length"; sizes validated
+    // against K^l before the GIL is released.
+    long K = PyLong_AsLong(args[1]);
+    long long vstart = PyLong_AsLongLong(args[2]);
+    if (PyErr_Occurred()) return NULL;
+    Buffers b;
+    if (!b.grab(args[0], false) || !b.grab(args[3], false) ||
+        !b.grab(args[4], false) || !b.grab(args[5], false))
+        return NULL;
+    if (K < 1 ||
+        (b.len(1) != 0 && b.len(1) != (int64_t)K * 4) ||
+        (b.len(2) != 0 && b.len(2) != (int64_t)K * K * 4) ||
+        (b.len(3) != 0 && b.len(3) != (int64_t)K * K * K * 4)) {
+        PyErr_SetString(PyExc_ValueError,
+                        "emit_short: lut sizes must be K^l int32");
+        return NULL;
+    }
+    const int32_t* cls = (const int32_t*)b.buf(0);
+    int64_t n = b.len(0) / 4;
+    const int32_t* l1 = b.len(1) ? (const int32_t*)b.buf(1) : NULL;
+    const int32_t* l2 = b.len(2) ? (const int32_t*)b.buf(2) : NULL;
+    const int32_t* l3 = b.len(3) ? (const int32_t*)b.buf(3) : NULL;
+    int64_t cnt = 0;
+    Py_BEGIN_ALLOW_THREADS
+    cnt = aho_emit_short_count(cls, n, (int32_t)K, vstart, l1, l2, l3);
+    Py_END_ALLOW_THREADS
+    PyObject* pos_bytes = PyByteArray_FromStringAndSize(NULL, cnt * 8);
+    PyObject* id_bytes = PyByteArray_FromStringAndSize(NULL, cnt * 4);
+    if (!pos_bytes || !id_bytes) {
+        Py_XDECREF(pos_bytes);
+        Py_XDECREF(id_bytes);
+        return NULL;
+    }
+    Py_BEGIN_ALLOW_THREADS
+    aho_emit_short_fill(cls, n, (int32_t)K, vstart, l1, l2, l3,
+                        (int64_t*)PyByteArray_AS_STRING(pos_bytes),
+                        (int32_t*)PyByteArray_AS_STRING(id_bytes));
+    Py_END_ALLOW_THREADS
+    PyObject* out = PyTuple_Pack(2, pos_bytes, id_bytes);
+    Py_DECREF(pos_bytes);
+    Py_DECREF(id_bytes);
+    return out;
+}
+
 PyObject* m_iter_long_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     // delta, K, depth, word_id, fail, cls, end, state(4-tuple),
     // out_pos, out_pid, cap  ->  (n, state-tuple)
@@ -698,6 +744,7 @@ PyMethodDef methods[] = {
     {"emit_from_states", (PyCFunction)(void*)m_emit_from_states, METH_FASTCALL, ""},
     {"resolve_states", (PyCFunction)(void*)m_resolve_states, METH_FASTCALL, ""},
     {"hist3", (PyCFunction)(void*)m_hist3, METH_FASTCALL, ""},
+    {"emit_short", (PyCFunction)(void*)m_emit_short, METH_FASTCALL, ""},
     {"iter_long_scan", (PyCFunction)(void*)m_iter_long_scan, METH_FASTCALL, ""},
     {NULL, NULL, 0, NULL},
 };

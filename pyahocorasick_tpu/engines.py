@@ -113,6 +113,24 @@ def emit(
     global _jax_failed
     engine = _forced()
     N = int(cls.size)
+    if engine == "cascade" or (
+        engine == "auto"
+        and N >= _JAX_MIN
+        and not _jax_failed
+        and _device_backend()
+    ):
+        # cascade emission: exact bitmap short matches + verified deep
+        # candidates, no per-char DFA gather; None -> classic path below
+        try:
+            from .ops import cascade_emit
+
+            res = cascade_emit.emit_matches_cascade(compiled, cls, halo, base)
+            if res is not None:
+                return res
+        except ImportError:
+            _jax_failed = True
+        if engine == "cascade":
+            engine = "auto"
     if not compiled.has_delta and compiled.child_off is not None:
         # dense table not yet lowered: scan sparsely (goto via child runs +
         # fail chains) unless the input is big enough that lowering pays for

@@ -423,6 +423,29 @@ def hist3(cls: np.ndarray, K: int, start: int = 0):
     return hist
 
 
+def emit_short(cls: np.ndarray, K: int, vstart: int, lut1, lut2, lut3):
+    """(end_positions int64, pattern_ids int32) for every length<=3 match,
+    via a single C++ pass over the K^l id LUTs (length-descending at equal
+    end = reference fail-chain order).  None when the extension is missing.
+    Releases the GIL, so it overlaps device work in the cascade hybrid."""
+    ext = _load()
+    if ext is None or not hasattr(ext, "emit_short"):
+        return None
+    cls = np.ascontiguousarray(cls, dtype=np.int32)
+    empty = np.empty(0, np.int32)
+
+    def prep(lut):
+        return empty if lut is None else np.ascontiguousarray(lut, np.int32)
+
+    pos_b, id_b = ext.emit_short(
+        cls, int(K), int(vstart), prep(lut1), prep(lut2), prep(lut3)
+    )
+    return (
+        np.frombuffer(pos_b, dtype=np.int64),
+        np.frombuffer(id_b, dtype=np.int32),
+    )
+
+
 def iter_long_scan(compiled, cls: np.ndarray, end: int, state_tuple, cap=None):
     """Batch iter_long over cls[state.index+1:end].
 

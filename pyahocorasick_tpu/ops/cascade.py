@@ -541,6 +541,9 @@ _CORE_CACHE: dict = {}
 
 def _get_core(key):
     if key not in _CORE_CACHE:
+        from ..utils.compile_cache import ensure_compile_cache
+
+        ensure_compile_cache()
         _CORE_CACHE[key] = _make_core(*key)
     return _CORE_CACHE[key]
 
@@ -656,9 +659,9 @@ def count_matches_cascade(
     return counts
 
 
-def _verify_deep_host(t: CascadeTables, cls, vstart, dpos, dids):
-    """Exact host verification of l>=5 candidates by full text compare."""
-    counts = np.zeros(t.num_patterns, np.int64)
+def _verify_deep_mask(t: CascadeTables, cls, dpos, dids) -> np.ndarray:
+    """Exact host verification of l>=5 candidates by full text compare;
+    returns a boolean mask over the candidate list."""
     rows = t.deep_id_of_row[dids]
     lens = t.deep_len[rows].astype(np.int64)
     okb = (dpos - lens + 1 >= 0) & (rows >= 0)
@@ -669,7 +672,13 @@ def _verify_deep_host(t: CascadeTables, cls, vstart, dpos, dids):
     text = np.asarray(cls, np.int32)[win]
     patt = t.deep_cls[rows]
     lmask = np.arange(L)[None, :] < lens[:, None]
-    eq = ((text == patt) | ~lmask).all(axis=1) & okb
+    return ((text == patt) | ~lmask).all(axis=1) & okb
+
+
+def _verify_deep_host(t: CascadeTables, cls, vstart, dpos, dids):
+    """Per-pattern counts of host-verified l>=5 candidates."""
+    counts = np.zeros(t.num_patterns, np.int64)
+    eq = _verify_deep_mask(t, cls, dpos, dids)
     np.add.at(counts, dids[eq], 1)
     return counts
 

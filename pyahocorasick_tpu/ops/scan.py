@@ -33,6 +33,9 @@ def _device_tables(compiled: CompiledAutomaton):
     cache = compiled._cache
     tabs = cache.get("jax_tables")
     if tabs is None:
+        from ..utils.compile_cache import ensure_compile_cache
+
+        ensure_compile_cache()
         delta_flat = jnp.asarray(compiled.delta.reshape(-1), dtype=jnp.int32)
         match_count = jnp.asarray(compiled.match_count, dtype=jnp.int32)
         row_of = np.repeat(
