@@ -100,7 +100,7 @@ class ShardedAutomaton:
             self.row_of[i, c.out_ids.size :] = 0
 
         self._count_fn = None
-        self._search_fn = None
+        self._search_fns: dict = {}
         # per-shard metadata for reassembling emission results
         self.shard_offsets = np.cumsum(
             [0] + [c.num_patterns for c in self.shards]
@@ -108,6 +108,22 @@ class ShardedAutomaton:
         self.word_len_all = np.concatenate(
             [c.word_len for c in self.shards]
         ) if self.shards else np.empty(0, np.int32)
+
+    # -- input staging ------------------------------------------------------
+
+    def _stage(self, arr_np: np.ndarray, spec: P):
+        """Host numpy -> global device array with the given PartitionSpec.
+
+        Single-process: a plain transfer.  Multi-process (jax.distributed):
+        every process holds the same host copy and contributes only its
+        addressable shards via make_array_from_callback — the only legal way
+        to build a global array that spans hosts."""
+        sharding = jax.sharding.NamedSharding(self.mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(arr_np, sharding)
+        return jax.make_array_from_callback(
+            arr_np.shape, sharding, lambda idx: np.ascontiguousarray(arr_np[idx])
+        )
 
     # -- per-shard class mapping -----------------------------------------
 
@@ -248,6 +264,12 @@ class ShardedAutomaton:
         equal positions — fail-chain order).  Pattern ids are shard-major;
         ``values_of`` maps them back to values.
         """
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-host search emission is not yet wired; use "
+                "count_matches (multi-host capable) or per-process emission "
+                "via multihost.process_shard + engines.emit"
+            )
         mesh = self.mesh
         kp, kd = mesh.shape["pattern"], mesh.shape["data"]
         H = self.H
@@ -270,26 +292,29 @@ class ShardedAutomaton:
                 ext[:, d, H - halo.shape[1] : H] = halo
             n_valid[:, d] = hi - lo
 
+        # Optimistic single pass: the emission kernel always counts exactly,
+        # so an overflowing first pass yields the exact per-device need and
+        # ONE re-run with CAP rounded up to a power of two is guaranteed to
+        # fit.  Rounding keeps the set of compiled programs bounded (no
+        # per-input re-jit); compiled variants are cached by (B, Lloc, CAP).
         CAP = int(cap_per_device)
-        key = (B, Lloc, CAP)
-        if self._search_fn is None or self._search_key != key:
-            self._search_fn = self._build_search_fn(B, Lloc, CAP)
-            self._search_key = key
-
-        with self.mesh:
-            counts, pos_buf, state_buf = self._search_fn(
-                jnp.asarray(self.delta_flat),
-                jnp.asarray(self.match_count),
-                jnp.asarray(ext),
-                jnp.asarray(n_valid),
-            )
-        counts = np.asarray(counts)[..., 0]  # [kp, kd]
-        if int(counts.max(initial=0)) > CAP:
-            return self.search(
-                letters_u32,
-                block=block,
-                cap_per_device=int(counts.max()) + 1024,
-            )
+        for _ in range(2):
+            key = (B, Lloc, CAP)
+            fn = self._search_fns.get(key)
+            if fn is None:
+                fn = self._search_fns[key] = self._build_search_fn(B, Lloc, CAP)
+            with self.mesh:
+                counts, pos_buf, state_buf = fn(
+                    self._stage(self.delta_flat, P("pattern")),
+                    self._stage(self.match_count, P("pattern")),
+                    self._stage(ext, P("pattern", "data")),
+                    self._stage(n_valid, P("pattern", "data")),
+                )
+            counts = np.asarray(counts)[..., 0]  # [kp, kd]
+            need = int(counts.max(initial=0))
+            if need <= CAP:
+                break
+            CAP = 1 << max(need - 1, 1).bit_length()
         pos_buf = np.asarray(pos_buf)
         state_buf = np.asarray(state_buf)
 
@@ -364,12 +389,19 @@ class ShardedAutomaton:
 
         with self.mesh:
             out = self._count_fn(
-                jnp.asarray(self.delta_flat),
-                jnp.asarray(self.row_of),
-                jnp.asarray(self.out_ids),
-                jnp.asarray(ext),
-                jnp.asarray(n_valid),
+                self._stage(self.delta_flat, P("pattern")),
+                self._stage(self.row_of, P("pattern")),
+                self._stage(self.out_ids, P("pattern")),
+                self._stage(ext, P("pattern", "data")),
+                self._stage(n_valid, P("pattern", "data")),
             )
+        if jax.process_count() > 1 and not out.is_fully_addressable:
+            # pattern rows live on other hosts: gather the global result
+            # (with kp == 1 the psum-reduced output is replicated everywhere
+            # and this branch is skipped)
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
         out = np.asarray(out)  # [kp, Pmax]
         return np.concatenate(
             [out[i, : c.num_patterns] for i, c in enumerate(self.shards)]
