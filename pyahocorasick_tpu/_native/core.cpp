@@ -24,6 +24,25 @@
 
 namespace {
 
+// ---- counted allocation fault injection (test instrumentation) ------------
+// The host-runtime analog of the reference's MEMORY_DEBUG ALLOC_FAIL sweep
+// (reference runtest.sh:156-215, src/utils.c:13-61): aho's allocation points
+// call alloc_guard(); when armed, the Nth call throws std::bad_alloc, which
+// the Python binding's guarded() wrapper surfaces as MemoryError.  Always
+// compiled in — one predictable branch per allocation event — so the shipped
+// extension is sweepable without a rebuild.  Only arm through the Python
+// binding (its entry points catch the exception); the raw C ABI does not.
+long long g_alloc_counter = 0;
+long long g_alloc_fail_at = -1;
+
+inline void alloc_guard() {
+    ++g_alloc_counter;
+    if (g_alloc_fail_at >= 0 && g_alloc_counter >= g_alloc_fail_at) {
+        g_alloc_fail_at = -1;  // one-shot: the retry after MemoryError works
+        throw std::bad_alloc();
+    }
+}
+
 struct Edge {
     uint32_t letter;
     int32_t child;
@@ -80,9 +99,11 @@ struct Node {
             return;
         }
         if (child0 < 0) {  // inline slot empty but spill exists: keep order
+            alloc_guard();
             spill->push_back({letter, child});
             return;
         }
+        alloc_guard();
         if (!spill) spill = new std::vector<Edge>();
         spill->push_back({letter, child});
     }
@@ -131,6 +152,7 @@ struct Trie {
     bool last_new = false;
 
     int32_t alloc() {
+        alloc_guard();
         if (!freelist.empty()) {
             int32_t id = freelist.back();
             freelist.pop_back();
@@ -143,6 +165,7 @@ struct Trie {
 
     void ensure_root() {
         if (!has_root) {
+            alloc_guard();
             nodes.clear();
             freelist.clear();
             nodes.emplace_back();
@@ -154,6 +177,19 @@ struct Trie {
 }  // namespace
 
 extern "C" {
+
+// Arm the counted allocation fault: the n'th allocation event from now
+// throws std::bad_alloc (one-shot).  n < 0 disarms.  Returns the event
+// count since the last arm call.  Test instrumentation only — call through
+// the Python binding so the exception is mapped to MemoryError.
+long long aho_alloc_fail_arm(long long n) {
+    long long prev = g_alloc_counter;
+    g_alloc_counter = 0;
+    g_alloc_fail_at = n;
+    return prev;
+}
+
+long long aho_alloc_calls() { return g_alloc_counter; }
 
 void* aho_trie_new() { return new Trie(); }
 
@@ -292,6 +328,7 @@ int64_t aho_trie_bfs_size(void* h) {
     Trie* t = static_cast<Trie*>(h);
     if (!t->has_root) return 0;
     std::vector<int32_t> order;
+    alloc_guard();
     order.reserve(t->nodes.size() - t->freelist.size());
     order.push_back(0);
     for (size_t qi = 0; qi < order.size(); qi++) {
@@ -309,6 +346,7 @@ void aho_trie_bfs_export(void* h, uint32_t* parent, uint32_t* letter, uint8_t* e
     Trie* t = static_cast<Trie*>(h);
     if (!t->has_root) return;
     std::vector<int32_t> order;
+    alloc_guard();
     order.reserve(t->nodes.size() - t->freelist.size());
     order.push_back(0);
     std::vector<int32_t> newid(t->nodes.size(), -1);
@@ -356,6 +394,7 @@ void aho_trie_import(void* h, const uint32_t* parent, const uint32_t* letter,
     t->freelist.clear();
     t->has_root = S > 0;
     if (S <= 0) return;
+    alloc_guard();
     t->nodes.resize((size_t)S);
     for (int64_t i = 0; i < S; i++) {
         t->nodes[(size_t)i].eow = eow[i] != 0;
@@ -414,6 +453,7 @@ int64_t aho_build_tables(const uint32_t* parent, const int32_t* cls,
             // the (already final) shallower region mostly sequentially
             // instead of thrashing TLB/cache with random rows
             by_src.clear();
+            alloc_guard();
             by_src.reserve((size_t)(hi - lo));
             for (int64_t i = lo; i < hi; i++)
                 by_src.push_back(((int64_t)fail[i] << 28) | (i - lo));
@@ -572,6 +612,7 @@ void aho_build_delta(const uint32_t* parent, const int32_t* cls,
         if (d > 0) {
             // ascending source-row order: reads stream the shallower region
             by_src.clear();
+            alloc_guard();
             by_src.reserve((size_t)(hi - lo));
             for (int64_t i = lo; i < hi; i++)
                 by_src.push_back(((int64_t)fail[i] << 28) | (i - lo));

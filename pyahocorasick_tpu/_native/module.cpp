@@ -250,7 +250,8 @@ PyObject* m_set_value(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
 }
 
 PyObject* m_bfs_size(PyObject*, PyObject* cap) {
-    return PyLong_FromLongLong(aho_trie_bfs_size(get_trie(cap)));
+    return guarded(
+        [&]() { return PyLong_FromLongLong(aho_trie_bfs_size(get_trie(cap))); });
 }
 
 PyObject* m_bfs_export(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
@@ -261,10 +262,13 @@ PyObject* m_bfs_export(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     if (PyObject_GetBuffer(args[2], &l, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&p); return NULL; }
     if (PyObject_GetBuffer(args[3], &e, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&p); PyBuffer_Release(&l); return NULL; }
     if (PyObject_GetBuffer(args[4], &v, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)) { PyBuffer_Release(&p); PyBuffer_Release(&l); PyBuffer_Release(&e); return NULL; }
-    aho_trie_bfs_export(t, (uint32_t*)p.buf, (uint32_t*)l.buf, (uint8_t*)e.buf,
-                        (int64_t*)v.buf);
+    PyObject* r = guarded([&]() {
+        aho_trie_bfs_export(t, (uint32_t*)p.buf, (uint32_t*)l.buf,
+                            (uint8_t*)e.buf, (int64_t*)v.buf);
+        Py_RETURN_NONE;
+    });
     PyBuffer_Release(&p); PyBuffer_Release(&l); PyBuffer_Release(&e); PyBuffer_Release(&v);
-    Py_RETURN_NONE;
+    return r;
 }
 
 PyObject* m_import_arrays(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
@@ -632,6 +636,16 @@ PyObject* m_hist3(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     Py_RETURN_NONE;
 }
 
+PyObject* m_alloc_fail_arm(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    long long n = PyLong_AsLongLong(args[0]);
+    if (PyErr_Occurred()) return NULL;
+    return PyLong_FromLongLong(aho_alloc_fail_arm(n));
+}
+
+PyObject* m_alloc_calls(PyObject*, PyObject*) {
+    return PyLong_FromLongLong(aho_alloc_calls());
+}
+
 PyObject* m_emit_short(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     // cls(i32), K, vstart, lut1(i32), lut2(i32), lut3(i32) -> (pos i64, id i32)
     // zero-length luts mean "no patterns of that length"; sizes validated
@@ -745,6 +759,8 @@ PyMethodDef methods[] = {
     {"resolve_states", (PyCFunction)(void*)m_resolve_states, METH_FASTCALL, ""},
     {"hist3", (PyCFunction)(void*)m_hist3, METH_FASTCALL, ""},
     {"emit_short", (PyCFunction)(void*)m_emit_short, METH_FASTCALL, ""},
+    {"_alloc_fail_arm", (PyCFunction)(void*)m_alloc_fail_arm, METH_FASTCALL, ""},
+    {"_alloc_calls", (PyCFunction)(void*)m_alloc_calls, METH_NOARGS, ""},
     {"iter_long_scan", (PyCFunction)(void*)m_iter_long_scan, METH_FASTCALL, ""},
     {NULL, NULL, 0, NULL},
 };
