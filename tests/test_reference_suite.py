@@ -14,16 +14,18 @@ import sys
 import pytest
 
 REF_TESTS = "/root/reference/tests"
-WORKDIR = "/tmp/reftests_auto"
+WORKDIR = "/tmp/reftests_auto/tests"  # nested: test_issue_9 reads ../README.rst
 
 FILES = [
     "test_unit.py",
     "test_basic.py",
     "test_issue_5.py",
     "test_issue_8.py",
+    "test_issue_9.py",
     "test_issue_10.py",
     "test_issue_19.py",
     "test_issue_26.py",
+    "test_issue_50.py",
     "test_issue_53.py",
     "test_issue_56.py",
     "test_issue_133.py",
@@ -54,6 +56,10 @@ def test_reference_suite_passes():
         src = os.path.join(REF_TESTS, f)
         if os.path.exists(src):
             shutil.copy(src, WORKDIR)
+    # test_issue_9 reads <testdir>/../README.rst for its scan corpus
+    ref_readme = os.path.join(os.path.dirname(REF_TESTS), "README.rst")
+    if os.path.exists(ref_readme):
+        shutil.copy(ref_readme, os.path.join(WORKDIR, os.pardir))
     with open(os.path.join(WORKDIR, "conftest.py"), "w") as fh:
         fh.write(CONFTEST.format(repo=repo))
 
