@@ -306,25 +306,28 @@ def build_tables(compiled: CompiledAutomaton) -> Optional[CascadeTables]:
 
 
 def _bilinear_word(tab, idx):
-    """Exact fetch of packed words from a (128,128) bilinear table (MXU).
+    """Exact fetch of packed words from an (R, 128) bilinear table (MXU).
 
     Exactness is load-bearing: f32 round-trips integers up to 2**24 (bf16
     tables up to 2**8), and the dot runs at ``Precision.HIGHEST`` with f32
     accumulation so no intermediate drops mantissa bits (``_to_bilinear``
-    asserts the packing invariant on the host side)."""
+    asserts the packing invariant on the host side).  Cost scales with the
+    table size (2*R*128 flops per lookup), so keep R minimal."""
     import jax
     import jax.numpy as jnp
 
+    R = tab.shape[0]
     a = idx >> 7
     b = idx & 127
-    iota = jnp.arange(128, dtype=jnp.int32)
-    oh_a = (a[:, None] == iota[None, :]).astype(tab.dtype)
+    iota_r = jnp.arange(R, dtype=jnp.int32)
+    oh_a = (a[:, None] == iota_r[None, :]).astype(tab.dtype)
     r = jax.lax.dot_general(
         oh_a, tab, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    oh_b = b[:, None] == iota[None, :]
+    iota_c = jnp.arange(128, dtype=jnp.int32)
+    oh_b = b[:, None] == iota_c[None, :]
     return jnp.where(oh_b, r, 0.0).sum(axis=1).astype(jnp.int32)
 
 

@@ -114,6 +114,62 @@ def _blocked_scan_signed_jit(delta_signed_flat, cls_tl, K: int, H: int, B: int):
     return seq[H:]
 
 
+# --- small-automaton fast path: bilinear-MXU state lookup -------------------
+# For S*K <= _BILINEAR_MAX_ENTRIES the whole signed transition table fits one
+# (R, 128) f32 bilinear table, and the per-step lookup becomes a small matmul
+# (onehot(state*K+cls) @ table) instead of a ~7-8 ns/element XLA HBM gather —
+# the dominant production case of "dozens of keywords" runs at matmul speed.
+# The match flag packs at bit 23 (f32 is exact to 2^24); the step re-encodes
+# it into the sign bit so every downstream consumer of signed states is
+# unchanged.  (This replaces the round-1 pallas_scan.py sweep kernel, whose
+# tpu.dynamic_gather primitive measured ~110 ns/element — scalarized — on
+# this backend; the bilinear lookup is ~0.55 ns at R=128, see
+# tools/probe_mxu.py and PLAN.md.)
+
+_BILINEAR_MAX_ENTRIES = 1 << 15  # R <= 256 rows: <= 1.1 ns/char/step
+
+
+def small_table_ok(compiled: CompiledAutomaton) -> bool:
+    return (
+        compiled.num_states * compiled.num_classes <= _BILINEAR_MAX_ENTRIES
+        and compiled.num_states < (1 << 22)
+    )
+
+
+def _bilinear_signed_table(compiled: CompiledAutomaton):
+    cache = compiled._cache
+    if "delta_bilinear_dev" not in cache:
+        has_match = compiled.match_count > 0  # per TARGET state
+        entries = compiled.delta | (
+            has_match[compiled.delta].astype(np.int32) << 23
+        )
+        flat = entries.reshape(-1)
+        R = max(-(-flat.size // 128), 1)
+        pad = np.zeros(R * 128, np.float32)
+        pad[: flat.size] = flat
+        cache["delta_bilinear_dev"] = jnp.asarray(pad.reshape(R, 128))
+    return cache["delta_bilinear_dev"]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "H", "B"))
+def _blocked_scan_signed_bilinear_jit(tab, cls_tl, K: int, H: int, B: int):
+    from .cascade import _bilinear_word
+
+    L = cls_tl.shape[1]
+
+    def step(states, cls_t):
+        w = _bilinear_word(tab, states * K + cls_t)
+        nxt = w & 0x7FFFFF
+        signed = jnp.where(
+            (w >> 23) > 0, nxt | jnp.int32(-2147483648), nxt
+        )
+        return nxt, signed
+
+    init = jnp.zeros((L,), dtype=jnp.int32)
+    _, seq = jax.lax.scan(step, init, cls_tl)
+    return seq[H:]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _pack_flags_jit(states_signed):
     """[B, L] signed states -> [B, L//32] uint32 lane-packed match flags
@@ -126,8 +182,15 @@ def _pack_flags_jit(states_signed):
     return (flags * pows).sum(axis=2, dtype=jnp.uint32)
 
 
-def _blocked_flags(delta_signed_flat, cls_tl_dev, K: int, H: int, B: int):
-    states = _blocked_scan_signed_jit(delta_signed_flat, cls_tl_dev, K, H, B)
+def _blocked_flags(compiled, cls_tl_dev, K: int, H: int, B: int):
+    if small_table_ok(compiled):
+        states = _blocked_scan_signed_bilinear_jit(
+            _bilinear_signed_table(compiled), cls_tl_dev, K, H, B
+        )
+    else:
+        states = _blocked_scan_signed_jit(
+            _signed_delta_flat(compiled), cls_tl_dev, K, H, B
+        )
     return _pack_flags_jit(states)
 
 
@@ -176,9 +239,7 @@ def matched_positions_jax(
         cls_tl_dev, B = staged
 
     packed = np.asarray(
-        _blocked_flags(
-            _signed_delta_flat(compiled), cls_tl_dev, compiled.num_classes, H, B
-        )
+        _blocked_flags(compiled, cls_tl_dev, compiled.num_classes, H, B)
     )  # [B, Lp//32] uint32
 
     # sparse unpack: only words with set bits are expanded
