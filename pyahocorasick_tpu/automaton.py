@@ -188,7 +188,22 @@ class Automaton:
         return wordlen  # STORE_LENGTH
 
     def add_word(self, key, *args):
-        """Add a key; returns True for new words (src/Automaton.c:201-300)."""
+        """Add a word to the trie, returning True only when the word is new.
+
+        ``add_word(key)`` uses the store's default value (STORE_INTS: the
+        running word count + 1; STORE_LENGTH: the key's length; STORE_ANY
+        requires an explicit value).  ``add_word(key, value)`` stores/replaces
+        the value.  The empty key stores nothing and returns False.  Adding
+        to a compiled automaton downgrades ``kind`` back to TRIE — call
+        :meth:`make_automaton` again before searching.
+
+        >>> A = Automaton()
+        >>> A.add_word("he", (0, "he"))
+        True
+        >>> A.add_word("he", "replacement")  # existing key: value replaced
+        False
+
+        (reference src/Automaton.c:201-300)"""
         # fast path: native trie + str key -> one extension call, no NodeRef
         trie = self._trie
         ext = getattr(trie, "_ext", None) if self._fast_str_keys else None
@@ -289,7 +304,11 @@ class Automaton:
         return int(new_count)
 
     def remove_word(self, key):
-        """(src/Automaton.c:302-350, src/trie.c:66-136)"""
+        """Remove a word; returns True when it was present.
+
+        Prunes now-dangling trie tails, downgrades ``kind`` to TRIE and
+        invalidates live iterators.
+        (reference src/Automaton.c:302-350, src/trie.c:66-136)"""
         key, wordlen = self._marshal_key(key)
         if wordlen == 0:
             return False
@@ -302,7 +321,10 @@ class Automaton:
         return found
 
     def pop(self, key):
-        """(src/Automaton.c:353-371)"""
+        """Remove a word and return its value; KeyError when absent.
+
+        Same side effects as :meth:`remove_word`.
+        (reference src/Automaton.c:353-371)"""
         key, wordlen = self._marshal_key(key)
         found, value = (False, None) if wordlen == 0 else self._trie.remove_word(key)
         if not found:
@@ -314,7 +336,8 @@ class Automaton:
         return value
 
     def clear(self):
-        """(src/Automaton.c:375-417)"""
+        """Remove every word; ``kind`` becomes EMPTY.
+        (reference src/Automaton.c:375-417)"""
         self._trie.clear()
         self._count = 0
         self._longest_word = 0
@@ -330,6 +353,9 @@ class Automaton:
         return self._count
 
     def exists(self, key):
+        """True when ``key`` is a complete stored word (== ``key in A``).
+        Prefixes of stored words do NOT count — see :meth:`match`.
+        (reference src/Automaton.c:420-457)"""
         trie = self._trie
         ext = getattr(trie, "_ext", None) if self._fast_str_keys else None
         if ext is not None and self._key_type == KEY_STRING:
@@ -341,8 +367,12 @@ class Automaton:
     __contains__ = exists
 
     def match(self, key):
-        """True when key is a prefix of (or equal to) any word
-        (src/Automaton.c:460-479)."""
+        """True when ``key`` is a prefix of (or equal to) any stored word.
+
+        >>> A.add_word("hers", 1); A.match("he"), A.exists("he")
+        (True, False)
+
+        (reference src/Automaton.c:460-479)"""
         trie = self._trie
         ext = getattr(trie, "_ext", None) if self._fast_str_keys else None
         if ext is not None and self._key_type == KEY_STRING:
@@ -350,6 +380,12 @@ class Automaton:
         return trie.find(self._marshal_key(key)[0]) is not None
 
     def longest_prefix(self, key):
+        """Length of the longest stored-word path-prefix of ``key``.
+
+        >>> A.add_word("hers", 1); A.longest_prefix("herself!")
+        4
+
+        (reference trie_longest, src/trie.c:158-174)"""
         trie = self._trie
         ext = getattr(trie, "_ext", None) if self._fast_str_keys else None
         if ext is not None and self._key_type == KEY_STRING:
@@ -357,6 +393,9 @@ class Automaton:
         return trie.longest_prefix(self._marshal_key(key)[0])
 
     def get(self, key, *args):
+        """Value stored for ``key``; with a second argument, that default
+        instead of KeyError when the key is absent.
+        (reference src/Automaton.c:501-552)"""
         if len(args) > 1:
             raise TypeError("get() takes one or two arguments (%d given)" % (1 + len(args)))
         trie = self._trie
@@ -378,8 +417,16 @@ class Automaton:
     # ------------------------------------------------------------------
 
     def make_automaton(self):
-        """Lower the trie to dense DFA tables (reference BFS:
-        src/Automaton.c:560-649; here vectorized per level, see compiler.py)."""
+        """Compile the trie into a searchable Aho-Corasick automaton.
+
+        Computes failure links (BFS) and lowers the trie to the search
+        engines' table form; afterwards ``kind == AHOCORASICK`` and the
+        search methods (:meth:`iter`, :meth:`find_all`, ...) work.  No-op
+        (returns False) unless ``kind == TRIE``.  Any later mutation
+        downgrades the kind again; just recall this method.
+
+        (reference BFS src/Automaton.c:560-649; here vectorized per level —
+        see compiler.py — with the dense device table materialized lazily)"""
         if self._kind != TRIE:
             return False
         self._recompile()
@@ -403,8 +450,11 @@ class Automaton:
     # ------------------------------------------------------------------
 
     def find_all(self, string, callback, *args):
-        """Eager search invoking callback(end_index, value)
-        (src/Automaton.c:652-719)."""
+        """Eager search: invoke ``callback(end_index, value)`` for every
+        match of every stored word in ``string[start:end]``.
+
+        Equivalent to ``for end, val in A.iter(string, *args):
+        callback(end, val)``.  (reference src/Automaton.c:652-719)"""
         if self._kind != AHOCORASICK:
             return None
         if not callable(callback):
@@ -420,7 +470,23 @@ class Automaton:
         return None
 
     def iter(self, string, start=-1, end=-1, ignore_white_space=False):
-        """(src/Automaton.c:875-966)"""
+        """Lazy search iterator over ``string[start:end]`` yielding
+        ``(end_index, value)`` for every occurrence of every stored word —
+        overlapping and nested matches included, ordered by end index
+        ascending, longest word first at equal ends.
+
+        ``end`` is exclusive; negative indices follow slice semantics.
+        ``ignore_white_space=True`` skips whitespace without consuming
+        automaton state.  The returned iterator's ``set(next_chunk)``
+        re-targets it for streaming: automaton state carries across chunks
+        and reported indices stay global (``set(chunk, True)`` resets).
+        Raises AttributeError until :meth:`make_automaton` has been called;
+        mutating the automaton mid-iteration raises ValueError.
+
+        >>> list(A.iter("_sherhershe_"))[:3]
+        [(3, 'she'), (3, 'he'), (4, 'her')]
+
+        (reference src/Automaton.c:875-966, src/AutomatonSearchIter.c)"""
         if self._kind != AHOCORASICK:
             raise AttributeError(
                 "Not an Aho-Corasick automaton yet: call add_word to add "
@@ -434,7 +500,10 @@ class Automaton:
         return SearchIter(self, string, s, e, ignore_white_space)
 
     def iter_long(self, string, *args):
-        """(src/Automaton.c:969-1041, src/AutomatonSearchIterLong.c)"""
+        """Like :meth:`iter` but reports only the longest non-overlapping
+        matches (greedy left-to-right tiling).  Also supports ``set()``.
+        (reference src/Automaton.c:969-1041, src/AutomatonSearchIterLong.c,
+        incl. the issue-133 corner-case rules)"""
         if self._kind != AHOCORASICK:
             raise AttributeError("not an automaton yet; add some words and call make_automaton")
         letters = self._marshal_haystack(string)
@@ -542,7 +611,10 @@ class Automaton:
     # ------------------------------------------------------------------
 
     def get_stats(self):
-        """(src/Automaton.c:1044-1096; cached per version like the reference)"""
+        """Dict of automaton statistics: ``nodes_count``, ``words_count``,
+        ``longest_word``, ``links_count``, ``sizeof_node``, ``total_size``.
+        Recomputed only after mutations (cached per version, like the
+        reference src/Automaton.c:1044-1096)."""
         if self._stats_version != self._version or self._stats_cache is None:
             if self._kind != EMPTY and self._trie.root is not None:
                 self._stats_cache = self._trie.stats()
@@ -594,8 +666,14 @@ class Automaton:
         return serialization.reduce_automaton(self)
 
     def save(self, *args):
-        """Streaming save; argument validation mirrors the reference
-        (src/custompickle/pyhelpers.c:8-44)."""
+        """Write the automaton to ``path`` in the streaming file format
+        (low peak memory; validated magic header/footer).
+
+        ``save(path, serializer)`` for STORE_ANY — the serializer (e.g.
+        ``pickle.dumps``) converts each value to bytes; ``save(path)`` for
+        the int stores.  Reload with module-level ``load(path,
+        deserializer)``.  (reference src/custompickle/; arg validation
+        mirrors pyhelpers.c:8-44)"""
         from . import serialization
 
         if self._store == STORE_ANY:
