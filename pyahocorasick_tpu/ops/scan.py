@@ -126,7 +126,11 @@ def _blocked_scan_signed_jit(delta_signed_flat, cls_tl, K: int, H: int, B: int):
 # this backend; the bilinear lookup is ~0.55 ns at R=128, see
 # tools/probe_mxu.py and PLAN.md.)
 
-_BILINEAR_MAX_ENTRIES = 1 << 15  # R <= 256 rows: <= 1.1 ns/char/step
+# measured on-chip (tools/probe_mxu.py + /tmp probes): ns/char ~= 0.58 +
+# 0.0048 * R  (R = table rows = entries/128): 0.9 GB/s at 30-120 patterns,
+# 0.45 GB/s at 400, crossover vs the 7-8 ns HBM gather near R ~ 1500.
+# Gate at 2^17 entries (R = 1024, ~0.18 GB/s — still >2x the gather path).
+_BILINEAR_MAX_ENTRIES = 1 << 17
 
 
 def small_table_ok(compiled: CompiledAutomaton) -> bool:

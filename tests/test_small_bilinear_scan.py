@@ -27,7 +27,7 @@ def test_small_table_gate():
     big = _build(
         [
             "".join(rng.choice("abcdefghij") for _ in range(20))
-            for _ in range(500)
+            for _ in range(2000)
         ]
     )
     assert not jax_scan.small_table_ok(big._compiled)
