@@ -31,6 +31,17 @@ def _forced() -> str:
     return os.environ.get("PYAHOCORASICK_TPU_ENGINE", "auto")
 
 
+def _small_table(compiled) -> bool:
+    """Small automata take the bilinear-MXU table scan (~1 GB/s) instead of
+    the cascade — strictly faster below the gate (ops/scan.small_table_ok)."""
+    try:
+        from .ops.scan import small_table_ok
+
+        return small_table_ok(compiled)
+    except ImportError:
+        return False
+
+
 def _device_backend() -> bool:
     """True when the default jax backend is an accelerator (the cascade
     engine is tuned for TPU op costs; on CPU the classic paths win)."""
@@ -118,6 +129,7 @@ def emit(
         and N >= _JAX_MIN
         and not _jax_failed
         and _device_backend()
+        and not _small_table(compiled)  # bilinear scan beats the cascade
     ):
         # cascade emission: exact bitmap short matches + verified deep
         # candidates, no per-char DFA gather; None -> classic path below
@@ -193,6 +205,7 @@ def count_matches(
         and N >= _JAX_MIN
         and not _jax_failed
         and _device_backend()
+        and not _small_table(compiled)  # bilinear scan beats the cascade
     ):
         # n-gram suffix-membership cascade: no per-char DFA gather at all.
         # Returns None when gated out (alphabet too wide, shared-suffix
