@@ -12,6 +12,7 @@
 // STORE_ANY, or stores the integer directly for STORE_INTS/STORE_LENGTH.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -32,14 +33,20 @@ namespace {
 // compiled in — one predictable branch per allocation event — so the shipped
 // extension is sweepable without a rebuild.  Only arm through the Python
 // binding (its entry points catch the exception); the raw C ABI does not.
-long long g_alloc_counter = 0;
-long long g_alloc_fail_at = -1;
+// Atomics: alloc_guard() runs at call sites with the GIL released
+// (aho_build_tables / aho_build_delta), so concurrent builds would race on
+// plain globals.  Relaxed ordering keeps the per-allocation cost negligible;
+// the exchange() makes the armed fault fire exactly once even under races.
+std::atomic<long long> g_alloc_counter{0};
+std::atomic<long long> g_alloc_fail_at{-1};
 
 inline void alloc_guard() {
-    ++g_alloc_counter;
-    if (g_alloc_fail_at >= 0 && g_alloc_counter >= g_alloc_fail_at) {
-        g_alloc_fail_at = -1;  // one-shot: the retry after MemoryError works
-        throw std::bad_alloc();
+    long long c = g_alloc_counter.fetch_add(1, std::memory_order_relaxed) + 1;
+    long long f = g_alloc_fail_at.load(std::memory_order_relaxed);
+    if (f >= 0 && c >= f) {
+        // one-shot: the retry after MemoryError works
+        if (g_alloc_fail_at.exchange(-1, std::memory_order_relaxed) >= 0)
+            throw std::bad_alloc();
     }
 }
 
@@ -183,13 +190,14 @@ extern "C" {
 // count since the last arm call.  Test instrumentation only — call through
 // the Python binding so the exception is mapped to MemoryError.
 long long aho_alloc_fail_arm(long long n) {
-    long long prev = g_alloc_counter;
-    g_alloc_counter = 0;
-    g_alloc_fail_at = n;
+    long long prev = g_alloc_counter.exchange(0, std::memory_order_relaxed);
+    g_alloc_fail_at.store(n, std::memory_order_relaxed);
     return prev;
 }
 
-long long aho_alloc_calls() { return g_alloc_counter; }
+long long aho_alloc_calls() {
+    return g_alloc_counter.load(std::memory_order_relaxed);
+}
 
 void* aho_trie_new() { return new Trie(); }
 
@@ -986,28 +994,33 @@ int64_t aho_emit_short_count(const int32_t* cls, int64_t n, int32_t K,
     return cnt;
 }
 
-void aho_emit_short_fill(const int32_t* cls, int64_t n, int32_t K,
-                         int64_t vstart, const int32_t* lut1,
-                         const int32_t* lut2, const int32_t* lut3,
-                         int64_t* out_pos, int32_t* out_id) {
+// cap = allocated capacity of out_pos/out_id; the fill stops there even if
+// the underlying cls buffer was mutated between the count and fill passes
+// (both run with the GIL released), so the passes can never overflow the
+// caller's buffers.  Returns the number of entries written.
+int64_t aho_emit_short_fill(const int32_t* cls, int64_t n, int32_t K,
+                            int64_t vstart, const int32_t* lut1,
+                            const int32_t* lut2, const int32_t* lut3,
+                            int64_t* out_pos, int32_t* out_id, int64_t cap) {
     int64_t k = 0;
     const int64_t K2 = (int64_t)K * K;
-    for (int64_t i = vstart > 0 ? vstart : 0; i < n; ++i) {
+    for (int64_t i = vstart > 0 ? vstart : 0; i < n && k < cap; ++i) {
         const int32_t c0 = cls[i];
-        if (lut3 && i >= 2) {
+        if (lut3 && i >= 2 && k < cap) {
             int32_t id =
                 lut3[(int64_t)cls[i - 2] * K2 + (int64_t)cls[i - 1] * K + c0];
             if (id >= 0) { out_pos[k] = i; out_id[k] = id; ++k; }
         }
-        if (lut2 && i >= 1) {
+        if (lut2 && i >= 1 && k < cap) {
             int32_t id = lut2[(int64_t)cls[i - 1] * K + c0];
             if (id >= 0) { out_pos[k] = i; out_id[k] = id; ++k; }
         }
-        if (lut1) {
+        if (lut1 && k < cap) {
             int32_t id = lut1[c0];
             if (id >= 0) { out_pos[k] = i; out_id[k] = id; ++k; }
         }
     }
+    return k;
 }
 
 }  // extern "C"

@@ -681,11 +681,23 @@ PyObject* m_emit_short(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
         Py_XDECREF(id_bytes);
         return NULL;
     }
+    int64_t written = 0;
     Py_BEGIN_ALLOW_THREADS
-    aho_emit_short_fill(cls, n, (int32_t)K, vstart, l1, l2, l3,
-                        (int64_t*)PyByteArray_AS_STRING(pos_bytes),
-                        (int32_t*)PyByteArray_AS_STRING(id_bytes));
+    // cnt caps the fill: the count and fill passes both run without the GIL,
+    // so a concurrently mutated cls buffer must not overflow the bytearrays.
+    written = aho_emit_short_fill(cls, n, (int32_t)K, vstart, l1, l2, l3,
+                                  (int64_t*)PyByteArray_AS_STRING(pos_bytes),
+                                  (int32_t*)PyByteArray_AS_STRING(id_bytes),
+                                  cnt);
     Py_END_ALLOW_THREADS
+    if (written < cnt) {  // fewer matches than counted: shrink to fit
+        if (PyByteArray_Resize(pos_bytes, written * 8) ||
+            PyByteArray_Resize(id_bytes, written * 4)) {
+            Py_DECREF(pos_bytes);
+            Py_DECREF(id_bytes);
+            return NULL;
+        }
+    }
     PyObject* out = PyTuple_Pack(2, pos_bytes, id_bytes);
     Py_DECREF(pos_bytes);
     Py_DECREF(id_bytes);

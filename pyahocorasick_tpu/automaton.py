@@ -642,9 +642,16 @@ class Automaton:
         parent, letter, eow, _values = arrays
         S = parent.size
         nodes = [(i, int(eow[i])) for i in range(S)]
-        edges = [
-            (int(parent[i]), chr(int(letter[i])), i) for i in range(1, S)
-        ]
+        if self._key_type == KEY_SEQUENCE:
+            # sequence letters are full uint32 (utils/textio.py:44-47) and
+            # may exceed chr()'s 0x10FFFF range: emit int edge labels
+            edges = [
+                (int(parent[i]), int(letter[i]), i) for i in range(1, S)
+            ]
+        else:
+            edges = [
+                (int(parent[i]), chr(int(letter[i])), i) for i in range(1, S)
+            ]
         fail = []
         if self._kind == AHOCORASICK and self._compiled is not None:
             fail = [(i, int(self._compiled.fail[i])) for i in range(S)]

@@ -315,6 +315,13 @@ class ShardedAutomaton:
             if need <= CAP:
                 break
             CAP = 1 << max(need - 1, 1).bit_length()
+        if need > CAP:
+            # unreachable for deterministic kernels (the second pass sizes CAP
+            # from the first pass's exact counts); fail loudly rather than
+            # consume silently truncated buffers if that ever changes
+            raise RuntimeError(
+                f"sharded search overflow: need {need} > CAP {CAP}"
+            )
         pos_buf = np.asarray(pos_buf)
         state_buf = np.asarray(state_buf)
 

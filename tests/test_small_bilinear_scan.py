@@ -1,6 +1,7 @@
 """Differential tests for the small-automaton bilinear-MXU scan path
 (ops/scan.py small_table_ok / _blocked_scan_signed_bilinear_jit): for
-S*K <= 2^15 the per-step state lookup is a matmul, not a gather.  Replaces
+S*K <= 2^17 (ops/scan.py _BILINEAR_MAX_ENTRIES) the per-step state lookup
+is a matmul, not a gather.  Replaces
 the removed round-1 pallas_scan sweep kernel (its tpu.dynamic_gather
 primitive measured scalarized on hardware)."""
 

@@ -201,6 +201,20 @@ def test_dump():
     assert eows == 2
 
 
+def test_dump_key_sequence_large_letters():
+    # KEY_SEQUENCE letters are full uint32 (utils/textio.py) and may exceed
+    # chr()'s 0x10FFFF range: dump() must emit int edge labels, not crash
+    A = ahocorasick.Automaton(ahocorasick.STORE_ANY, ahocorasick.KEY_SEQUENCE)
+    A.add_word((0x7FFFFFFF, 2, 0x200000), "big")
+    A.add_word((1, 2), "small")
+    A.make_automaton()
+    nodes, edges, fail = A.dump()
+    assert len(nodes) == 6
+    letters = {letter for _, letter, _ in edges}
+    assert 0x7FFFFFFF in letters and 0x200000 in letters
+    assert all(isinstance(letter, int) for _, letter, _ in edges)
+
+
 def test_sizeof():
     import sys
 
