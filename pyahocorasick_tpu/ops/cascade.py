@@ -172,6 +172,10 @@ class CascadeTables:
         self.deep_id_of_row = np.zeros(0, np.int32)
         self.bucket_max = 0
         self.has5 = False
+        # raw code sets, kept for the fused Pallas flag kernel (ops/fused.py)
+        self.codes_w4 = np.zeros(0, np.int64)
+        self.codes_suf = np.zeros(0, np.int64)
+        self.codes_sufb = np.zeros(0, np.int64)
         if self.has4:
             # last-4 / shifted-last-4 grams by ascending the parent chain
             lens = depth[didx].astype(np.int64)

@@ -109,6 +109,23 @@ class ShardedAutomaton:
             [c.word_len for c in self.shards]
         ) if self.shards else np.empty(0, np.int32)
 
+    # -- result fetching ----------------------------------------------------
+
+    @staticmethod
+    def _fetch_global(arr) -> np.ndarray:
+        """Device output -> full numpy array on every process.
+
+        Single-process outputs are fully addressable and transfer directly.
+        Multi-process outputs sharded over a mesh spanning hosts are not:
+        every process gathers the remote shards (DCN allgather), so all
+        processes hold the identical global result — the same contract the
+        multi-host count path provides."""
+        if jax.process_count() > 1 and not arr.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            arr = multihost_utils.process_allgather(arr, tiled=True)
+        return np.asarray(arr)
+
     # -- input staging ------------------------------------------------------
 
     def _stage(self, arr_np: np.ndarray, spec: P):
@@ -264,12 +281,6 @@ class ShardedAutomaton:
         equal positions — fail-chain order).  Pattern ids are shard-major;
         ``values_of`` maps them back to values.
         """
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-host search emission is not yet wired; use "
-                "count_matches (multi-host capable) or per-process emission "
-                "via multihost.process_shard + engines.emit"
-            )
         mesh = self.mesh
         kp, kd = mesh.shape["pattern"], mesh.shape["data"]
         H = self.H
@@ -310,7 +321,7 @@ class ShardedAutomaton:
                     self._stage(ext, P("pattern", "data")),
                     self._stage(n_valid, P("pattern", "data")),
                 )
-            counts = np.asarray(counts)[..., 0]  # [kp, kd]
+            counts = self._fetch_global(counts)[..., 0]  # [kp, kd]
             need = int(counts.max(initial=0))
             if need <= CAP:
                 break
@@ -322,8 +333,11 @@ class ShardedAutomaton:
             raise RuntimeError(
                 f"sharded search overflow: need {need} > CAP {CAP}"
             )
-        pos_buf = np.asarray(pos_buf)
-        state_buf = np.asarray(state_buf)
+        # Multi-host: gather the per-device match buffers so every process
+        # reassembles the identical global stream (reference emission order,
+        # src/AutomatonSearchIter.c:157-300, reproduced across hosts).
+        pos_buf = self._fetch_global(pos_buf)
+        state_buf = self._fetch_global(state_buf)
 
         all_pos, all_pid = [], []
         for i, c in enumerate(self.shards):

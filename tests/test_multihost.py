@@ -96,7 +96,34 @@ _WORKER = textwrap.dedent(
     got = sa.count_matches(letters)
     assert np.array_equal(got, want), (got.tolist(), want.tolist())
 
-    print(json.dumps({"pid": pid, "total": int(got.sum())}))
+    # --- multi-host FULL EMISSION parity with the single-process stream
+    # (reference order: end ascending, longest-first at equal ends)
+    pos_want, pid_want = engines.emit(compiled, cls_full)
+    pos_got, pid_got = sa.search(letters)
+    assert np.array_equal(pos_got, pos_want), (pos_got[:20], pos_want[:20])
+    assert np.array_equal(pid_got, pid_want)
+
+    # --- same with the dictionary split over a 2x1 (pattern x data) mesh:
+    # exercises cross-shard reassembly of the global order across hosts
+    pairs = [(w, i) for i, w in enumerate(words)]
+    shards2 = sharded.split_patterns(pairs, 2)
+    autos = []
+    for shard in shards2:
+        B = ahocorasick.Automaton()
+        for w, v in shard:
+            B.add_word(w, v)
+        B.make_automaton()
+        autos.append(B._compiled)
+    mesh2 = sharded.make_mesh(n_pattern=2)
+    sa2 = sharded.ShardedAutomaton(autos, mesh2)
+    pos2, pid2 = sa2.search(letters)
+    vals2 = sa2.values_of(pid2)
+    vals_want = [int(compiled.values[p]) for p in pid_want]
+    assert np.array_equal(pos2, pos_want), (pos2[:20], pos_want[:20])
+    assert list(vals2) == vals_want
+
+    print(json.dumps({"pid": pid, "total": int(got.sum()),
+                      "emitted": int(pos_got.size)}))
     """
 )
 
