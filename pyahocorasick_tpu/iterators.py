@@ -22,6 +22,8 @@ invalidation — on top of the bulk dense-scan engines.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import engines
@@ -53,6 +55,17 @@ def _ws_set() -> frozenset:
 def _nonspace_mask(letters: np.ndarray) -> np.ndarray:
     ws = np.fromiter(sorted(_ws_set()), dtype=np.uint32)
     return ~np.isin(letters, ws)
+
+
+def _iter_window() -> int:
+    """Positions scanned per internal window of SearchIter.
+
+    Bounds host memory on match-dense inputs: the reference's iterator is
+    O(1) per step (src/AutomatonSearchIter.c:243-300); ours batches matches
+    per window, so peak match-buffer memory is O(window * max_chain), never
+    O(total_matches).  Mirrors the 2^26-char device windowing of
+    ops/cascade_emit.py at a host-friendly default."""
+    return max(int(os.environ.get("PYAHOCORASICK_TPU_ITER_WINDOW", 1 << 22)), 1)
 
 
 class SearchIter:
@@ -87,24 +100,6 @@ class SearchIter:
             fed_positions = None
 
         cls = self._compiled.classes_of(segment).astype(np.int32)
-        pos, pids = engines.emit(self._compiled, cls, self._halo)
-        if fed_positions is not None:
-            positions = fed_positions[pos] if pos.size else pos
-        else:
-            positions = pos + start
-        if self._carry_pids.size:
-            # output chain kept across set() without reset: the reference
-            # reports these leftovers at index -1 + shift
-            # (src/AutomatonSearchIter.c:157-197,343-356)
-            positions = np.concatenate(
-                [np.full(self._carry_pids.size, -1, dtype=np.int64), positions]
-            )
-            pids = np.concatenate([self._carry_pids, pids])
-            self._carry_pids = np.empty(0, dtype=np.int64)
-        self._positions = positions
-        self._pids = pids
-        self._cursor = 0
-
         # retain continuation classes for a future set() call
         H = max(int(self._compiled.longest_word), 1)
         self._all_cls = cls
@@ -113,7 +108,49 @@ class SearchIter:
         # reported position)
         self._fed_positions = fed_positions
         self._start = start
-        self._halo_if_exhausted = np.concatenate([self._halo, cls])[-H:]
+        if cls.size >= H:  # avoid a full-chunk copy just for the tail
+            self._halo_if_exhausted = cls[-H:].copy()
+        else:
+            self._halo_if_exhausted = np.concatenate([self._halo, cls])[-H:]
+        # matches are computed per window (bounded memory), not per chunk
+        self._wcursor = 0
+        self._first_window = True
+        self._positions = np.empty(0, dtype=np.int64)
+        self._pids = np.empty(0, dtype=np.int64)
+        self._cursor = 0
+        self._next_window()
+
+    def _next_window(self) -> bool:
+        """Compute matches for the next window of the current chunk; returns
+        False when the chunk is exhausted."""
+        cls = self._all_cls
+        wc = self._wcursor
+        if not self._first_window and wc >= cls.size:
+            return False
+        H = max(int(self._compiled.longest_word), 1)
+        chunk = cls[wc : wc + _iter_window()]
+        halo = np.concatenate([self._halo, cls[max(wc - H, 0) : wc]])[-H:]
+        pos, pids = engines.emit(self._compiled, chunk, halo)
+        pos = pos + wc
+        if self._fed_positions is not None:
+            positions = self._fed_positions[pos] if pos.size else pos
+        else:
+            positions = pos + self._start
+        if self._first_window and self._carry_pids.size:
+            # output chain kept across set() without reset: the reference
+            # reports these leftovers at index -1 + shift
+            # (src/AutomatonSearchIter.c:157-197,343-356)
+            positions = np.concatenate(
+                [np.full(self._carry_pids.size, -1, dtype=np.int64), positions]
+            )
+            pids = np.concatenate([self._carry_pids, pids])
+            self._carry_pids = np.empty(0, dtype=np.int64)
+        self._first_window = False
+        self._wcursor = wc + chunk.size
+        self._positions = positions
+        self._pids = pids.astype(np.int64, copy=False)
+        self._cursor = 0
+        return True
 
     def _halo_at_index(self) -> np.ndarray:
         """Continuation classes as of self._index (last reported position)."""
@@ -137,12 +174,15 @@ class SearchIter:
     def __next__(self):
         if self._version != self._automaton._version:
             raise ValueError(_INVALIDATED_MSG)
-        if self._cursor < self._positions.size:
-            i = self._cursor
-            self._cursor += 1
-            self._index = int(self._positions[i])
-            value = self._automaton._value_of_pid(int(self._pids[i]))
-            return (self._index + self._shift, value)
+        while True:
+            if self._cursor < self._positions.size:
+                i = self._cursor
+                self._cursor += 1
+                self._index = int(self._positions[i])
+                value = self._automaton._value_of_pid(int(self._pids[i]))
+                return (self._index + self._shift, value)
+            if not self._next_window():
+                break
         self._index = self._end
         raise StopIteration
 
