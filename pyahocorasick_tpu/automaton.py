@@ -10,6 +10,8 @@ Behavioral parity notes are cited per method against /root/reference sources.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import engines
@@ -562,6 +564,86 @@ class Automaton:
             except ImportError:
                 pass
         return int(engines.count_matches(compiled, cls).sum())
+
+    def profile_scan(self, string, mode="counts", reps=3):
+        """Per-stage wall-clock profile of one scan over ``string``.
+
+        Returns a dict with the planned engine, per-stage seconds
+        (``marshal``, ``classify``, cold and warm ``engine`` time), warm
+        ``ns_per_char`` and ``GBps``.  ``mode`` is ``"counts"`` (per-pattern
+        reduction) or ``"emit"`` (full match emission).  Set
+        ``PYAHOCORASICK_TPU_TRACE=<dir>`` to also capture a JAX profiler
+        trace of the warm runs (view with TensorBoard or Perfetto).
+
+        This productizes the stage instrumentation the benchmarks use
+        (reference analog: etc/benchmarks/benchmark.py's ElapsedTime) —
+        the reference ships no user-callable profiler; a TPU library needs
+        one because throughput depends on dispatch mode and compile cache
+        state.
+
+        Example::
+
+            >>> A = Automaton(); _ = A.add_word("he", 1)
+            >>> A.make_automaton()
+            >>> p = A.profile_scan("hehehe" * 1000)
+            >>> sorted(p)[:3]
+            ['GBps', 'engine', 'engine_cold_s']
+        """
+        import time as _time
+
+        if self._kind != AHOCORASICK:
+            raise AttributeError(
+                "not an automaton yet; add some words and call make_automaton"
+            )
+        if mode not in ("counts", "emit"):
+            raise ValueError("mode must be 'counts' or 'emit'")
+        compiled = self._ensure_compiled()
+        out = {}
+        t0 = _time.perf_counter()
+        letters = self._marshal_haystack(string)
+        out["marshal_s"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        cls = compiled.classes_of(letters).astype(np.int32)
+        out["classify_s"] = _time.perf_counter() - t0
+        n = int(cls.size)
+        out["n_chars"] = n
+        out["engine"] = engines.describe_plan(compiled, n)
+
+        run = (
+            (lambda: engines.count_matches(compiled, cls))
+            if mode == "counts"
+            else (lambda: engines.emit(compiled, cls))
+        )
+        t0 = _time.perf_counter()
+        run()
+        out["engine_cold_s"] = _time.perf_counter() - t0
+
+        trace_dir = os.environ.get("PYAHOCORASICK_TPU_TRACE")
+        ctx = None
+        if trace_dir:
+            try:
+                import jax
+
+                ctx = jax.profiler.trace(trace_dir)
+            except Exception:  # noqa: BLE001 — tracing is best-effort
+                ctx = None
+        if ctx is not None:
+            ctx.__enter__()
+        try:
+            best = float("inf")
+            for _ in range(max(int(reps), 1)):
+                t0 = _time.perf_counter()
+                run()
+                best = min(best, _time.perf_counter() - t0)
+        finally:
+            if ctx is not None:
+                ctx.__exit__(None, None, None)
+        out["engine_s"] = best
+        out["ns_per_char"] = best / max(n, 1) * 1e9
+        out["GBps"] = n / best / 1e9 if best > 0 else float("inf")
+        if trace_dir:
+            out["trace_dir"] = trace_dir
+        return out
 
     # ------------------------------------------------------------------
     # keys / values / items

@@ -107,6 +107,23 @@ def scan_states(
     return cpu.scan_states_seq(compiled, cls, state)
 
 
+def describe_plan(compiled: CompiledAutomaton, n: int) -> str:
+    """Name of the engine the auto dispatcher would pick for an n-char scan
+    (introspection only; the actual call may still fall back on gating)."""
+    forced = _forced()
+    if forced != "auto":
+        return forced
+    if n < _NUMPY_MIN:
+        return "seq"
+    if n < _JAX_MIN or _jax_failed:
+        return "numpy"
+    if _small_table(compiled):
+        return "jax:bilinear-small"
+    if _device_backend():
+        return "cascade"
+    return "jax:blocked-scan"
+
+
 def emit(
     compiled: CompiledAutomaton,
     cls: np.ndarray,

@@ -228,3 +228,25 @@ def test_len_is_count_not_nodes():
     A = ahocorasick.Automaton()
     A.add_word("abcdef", 1)
     assert len(A) == 1
+
+
+def test_profile_scan():
+    A = ahocorasick.Automaton()
+    for i, w in enumerate("he her hers she".split()):
+        A.add_word(w, i)
+    A.make_automaton()
+    p = A.profile_scan("_sherhershe_" * 500)
+    for key in (
+        "engine", "marshal_s", "classify_s", "engine_cold_s", "engine_s",
+        "ns_per_char", "GBps", "n_chars",
+    ):
+        assert key in p, key
+    assert p["n_chars"] == 12 * 500
+    assert p["engine_s"] > 0 and p["GBps"] > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        A.profile_scan("x", mode="bogus")
+    B = ahocorasick.Automaton()
+    with _pytest.raises(AttributeError):
+        B.profile_scan("x")
