@@ -217,6 +217,21 @@ def count_matches(
     global _jax_failed
     engine = _forced()
     N = int(cls.size)
+    if engine == "fused":
+        # the fused Pallas flag kernel (ops/fused.py); falls through to the
+        # cascade/classic chain when gated or over budget
+        try:
+            from . import native
+            from .ops import fused as fused_ops
+
+            res = fused_ops.count_matches_fused(
+                compiled, cls, halo, short_on_host=native.available()
+            )
+            if res is not None:
+                return res
+        except ImportError:
+            _jax_failed = True
+        engine = "auto"
     if engine == "cascade" or (
         engine == "auto"
         and N >= _JAX_MIN

@@ -230,6 +230,7 @@ class CascadeTables:
             # compaction budget for n <= _K3_ENTRIES; denser dictionaries get
             # a third table instead of overflowing into the classic engine.
             w4 = np.unique(last4[lens == 4])
+            self.codes_w4 = w4
             if w4.size:
                 self.bw4 = _bloom_tables(w4, self.wbits_w4)
             deep = lens >= 5
@@ -237,6 +238,8 @@ class CascadeTables:
             if self.has5:
                 suf_u = np.unique(last4[deep])
                 sufb_u = np.unique(last4b[deep])
+                self.codes_suf = suf_u
+                self.codes_sufb = sufb_u
                 self.ksuf = len(self.wbits_suf)
                 self.bsuf = _bloom_tables(suf_u, self.wbits_suf)
                 self.bsufb = _bloom_tables(sufb_u, self.wbits_suf)
@@ -342,6 +345,45 @@ def _bloom_bit(tab, g4u, mult, wbits=_BLOOM_WBITS):
     widx = ((h >> 18) & (_BLOOM_WORDS - 1)).astype(jnp.int32)
     bit = (h & 8191).astype(jnp.int32) % wbits
     return (_bilinear_word(tab, widx) >> bit) & 1
+
+
+def _bucket_verify(d, ep, eg4, cvalid, g4, counts, P, bucket_max, cbud):
+    """Exact S4-bitmap membership + per-bucket verification of candidate end
+    positions (shared by the cascade cores): l==4 candidates are counted
+    exactly on device; l>=5 survivors are flagged for host text compare.
+
+    Returns (counts, deep_flag[cbud, bucket_max], deep_ids[...])."""
+    import jax
+    import jax.numpy as jnp
+
+    w = jnp.take(d["s4_words"], eg4 >> 5, mode="clip")
+    hit = cvalid & (((w >> (eg4 & 31)) & 1) > 0)
+    rank = jnp.take(
+        d["s4_rank"], eg4 >> 5, mode="clip"
+    ) + jax.lax.population_count(
+        w & ((jnp.int32(1) << (eg4 & 31)) - 1)
+    )
+    off = jnp.take(d["bucket_off"], rank, mode="clip")
+    end = jnp.take(d["bucket_off"], rank + 1, mode="clip")
+    deep_flag = jnp.zeros((cbud, bucket_max), jnp.int32)
+    deep_ids = jnp.zeros((cbud, bucket_max), jnp.int32)
+    for t in range(bucket_max):
+        ci = off + t
+        live = hit & (ci < end)
+        cl = jnp.take(d["cand_len"], ci, mode="clip")
+        cs4 = jnp.take(d["cand_start4"], ci, mode="clip")
+        cid = jnp.take(d["cand_id"], ci, mode="clip")
+        sp = ep - cl + 4  # end of the match's first 4-gram
+        inb = live & (sp >= 3)
+        okstart = inb & (
+            jnp.take(g4, jnp.maximum(sp, 0), mode="clip") == cs4
+        )
+        is4 = okstart & (cl == 4)
+        counts = counts.at[jnp.where(is4, cid, P)].add(1, mode="drop")
+        isdeep = okstart & (cl >= 5)
+        deep_flag = deep_flag.at[:, t].set(isdeep.astype(jnp.int32))
+        deep_ids = deep_ids.at[:, t].set(cid)
+    return counts, deep_flag, deep_ids
 
 
 def _compact(flags_i32, budget):
@@ -494,35 +536,9 @@ def _make_core(
             eg4 = jnp.take(g4, ep, mode="clip")
 
             # --- exact S4 membership + bucket rank via popcount
-            w = jnp.take(d["s4_words"], eg4 >> 5, mode="clip")
-            hit = cvalid & (((w >> (eg4 & 31)) & 1) > 0)
-            rank = jnp.take(
-                d["s4_rank"], eg4 >> 5, mode="clip"
-            ) + jax.lax.population_count(
-                w & ((jnp.int32(1) << (eg4 & 31)) - 1)
+            counts, deep_flag, deep_ids = _bucket_verify(
+                d, ep, eg4, cvalid, g4, counts, P, bucket_max, cbud
             )
-            off = jnp.take(d["bucket_off"], rank, mode="clip")
-            end = jnp.take(d["bucket_off"], rank + 1, mode="clip")
-            deep_flag = jnp.zeros((cbud, bucket_max), jnp.int32)
-            deep_ids = jnp.zeros((cbud, bucket_max), jnp.int32)
-            for t in range(bucket_max):
-                ci = off + t
-                live = hit & (ci < end)
-                cl = jnp.take(d["cand_len"], ci, mode="clip")
-                cs4 = jnp.take(d["cand_start4"], ci, mode="clip")
-                cid = jnp.take(d["cand_id"], ci, mode="clip")
-                sp = ep - cl + 4  # end of the match's first 4-gram
-                inb = live & (sp >= 3)
-                okstart = inb & (
-                    jnp.take(g4, jnp.maximum(sp, 0), mode="clip") == cs4
-                )
-                is4 = okstart & (cl == 4)
-                counts = counts.at[jnp.where(is4, cid, P)].add(
-                    1, mode="drop"
-                )
-                isdeep = okstart & (cl >= 5)
-                deep_flag = deep_flag.at[:, t].set(isdeep.astype(jnp.int32))
-                deep_ids = deep_ids.at[:, t].set(cid)
             dbuf, dtot = _compact(deep_flag.reshape(-1), _DEEP_BUDGET)
             dvalid = dbuf >= 0
             di = jnp.maximum(dbuf, 0)

@@ -1,0 +1,151 @@
+"""Differential tests for the fused Pallas flag engine (ops/fused.py).
+
+On CPU the kernel runs in pallas interpret mode (same math, no Mosaic), so
+these validate the bloom construction, hash mirroring, AND-shift logic,
+stage-2 filtering, budgets and exact verification against the sequential
+oracle.  TPU-compiled parity is exercised by the benchmark (bench.py) and
+the same code path.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import pyahocorasick_tpu as ahocorasick
+from pyahocorasick_tpu import engines
+from pyahocorasick_tpu.ops import cascade, fused
+
+
+def _build(words):
+    A = ahocorasick.Automaton()
+    for i, w in enumerate(words):
+        A.add_word(w, i)
+    A.make_automaton()
+    return A._compiled
+
+
+def _fused_counts(compiled, hay, halo=None):
+    cls = compiled.classes_of(
+        np.frombuffer(hay.encode("utf-32-le"), np.uint32)
+    ).astype(np.int32)
+    h = None
+    if halo is not None:
+        h = compiled.classes_of(
+            np.frombuffer(halo.encode("utf-32-le"), np.uint32)
+        ).astype(np.int32)
+    got = fused.count_matches_fused(compiled, cls, h, short_on_host=False)
+    return cls, h, got
+
+
+def _oracle(compiled, cls, halo=None):
+    return engines.count_matches(compiled, cls, halo)
+
+
+def test_fused_matches_oracle_mixed_lengths():
+    rng = random.Random(3)
+    words = sorted(
+        {
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 11)))
+            for _ in range(160)
+        }
+    )
+    compiled = _build(words)
+    hay = "".join(rng.choice("abcdef_") for _ in range(5000))
+    cls, _, got = _fused_counts(compiled, hay)
+    assert got is not None, "fused engine unexpectedly gated"
+    want = _oracle(compiled, cls)
+    assert np.array_equal(got, want)
+
+
+def test_fused_with_halo():
+    words = ["abcde", "bcdef", "cdef", "ab", "f"]
+    compiled = _build(words)
+    # matches straddling the halo boundary must be found exactly once
+    cls, h, got = _fused_counts(compiled, "cdefabcdefab", halo="zzab")
+    assert got is not None
+    want = _oracle(compiled, cls, h)
+    assert np.array_equal(got, want)
+
+
+def test_fused_deep_and_w4_paths():
+    # only length-4 (W4 path) and length>=5 (B1+stage2 path) patterns
+    words = ["abcd", "bcda", "abcde", "eabcd", "ddddd", "abcdefab"]
+    compiled = _build(words)
+    rng = random.Random(9)
+    hay = "abcdeabcdefabddddddabcdabcd" + "".join(
+        rng.choice("abcde") for _ in range(3000)
+    )
+    cls, _, got = _fused_counts(compiled, hay)
+    assert got is not None
+    assert np.array_equal(got, _oracle(compiled, cls))
+
+
+def test_fused_no_length4plus_gates_out():
+    compiled = _build(["a", "ab", "abc"])
+    cls = compiled.classes_of(
+        np.frombuffer("abcabc".encode("utf-32-le"), np.uint32)
+    ).astype(np.int32)
+    assert fused.count_matches_fused(compiled, cls) is None
+
+
+def test_fused_empty_and_tiny():
+    compiled = _build(["abcd", "bcdef"])
+    cls = np.empty(0, np.int32)
+    got = fused.count_matches_fused(compiled, cls, short_on_host=False)
+    assert got is not None and got.sum() == 0
+    cls, _, got = _fused_counts(compiled, "ab")
+    assert got is not None and got.sum() == 0
+    cls, _, got = _fused_counts(compiled, "abcd")
+    assert got is not None and got.tolist() == [1, 0]
+
+
+def test_fused_dense_matches_budget_fallback_is_none_or_exact():
+    # adversarial: the haystack is one repeated pattern; either the budgets
+    # hold and the result is exact, or the engine returns None (fallback)
+    compiled = _build(["aaaa", "aaaaa", "baaaab"])
+    cls = compiled.classes_of(
+        np.frombuffer(("a" * 4000).encode("utf-32-le"), np.uint32)
+    ).astype(np.int32)
+    got = fused.count_matches_fused(compiled, cls, short_on_host=False)
+    if got is not None:
+        want = _oracle(compiled, cls)
+        assert np.array_equal(got, want)
+
+
+def test_fused_fuzz_vs_oracle():
+    rng = random.Random(77)
+    for trial in range(6):
+        nw = rng.randint(5, 60)
+        words = sorted(
+            {
+                "".join(
+                    rng.choice("abc") for _ in range(rng.randint(4, 9))
+                )
+                for _ in range(nw)
+            }
+        )
+        compiled = _build(words)
+        hay = "".join(rng.choice("abc") for _ in range(rng.randint(50, 4000)))
+        cls, _, got = _fused_counts(compiled, hay)
+        want = _oracle(compiled, cls)
+        if got is None:
+            continue  # gated (dense 3-letter dictionaries can saturate)
+        assert np.array_equal(got, want), (trial, words[:5])
+
+
+def test_bloom_host_device_hash_mirror():
+    # the host _hash_parts and device _hash_parts_dev must agree bit-exactly
+    import jax.numpy as jnp
+
+    codes = np.random.default_rng(0).integers(0, 1 << 24, 4096)
+    for mult in (fused._M1, fused._M2, fused._M3):
+        for nwords, wbits in ((256 * 128, 24), (128 * 128, 8)):
+            hw, hbits = fused._hash_parts(codes, mult, nwords, wbits)
+            dw, dbits = fused._hash_parts_dev(
+                jnp.asarray(codes.astype(np.uint32)), mult, nwords, wbits
+            )
+            assert np.array_equal(hw, np.asarray(dw))
+            assert len(hbits) == len(dbits) == (3 if wbits == 24 else 2)
+            for hb, db in zip(hbits, dbits):
+                assert np.array_equal(hb, np.asarray(db))
