@@ -1,15 +1,21 @@
-"""Headline benchmark: haystack scan throughput at 100k patterns.
+"""Headline benchmark matrix for the TPU engines.
 
-Prints ONE JSON line:
+Default (BENCH_MODE=matrix) measures every headline metric and prints ONE
+JSON line whose primary value is the best exact per-pattern-counts
+throughput at 100k patterns:
+
   {"metric": "scan_GBps_100k_patterns", "value": N, "unit": "GB/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "cold_start_s": N, "engine": "...",
+   "small_GBps": N, "dna_GBps": N, "scan_raw_GBps": N, ...}
 
 vs_baseline compares against the reference pyahocorasick's committed number:
 1,000,000-char iter() scan in 0.279 s on a Xeon E3-1505M
 (reference etc/benchmarks/results/python3-xeon-u.txt:8) = 3.584 MB/s.
 
-Runs on whatever the default JAX backend is (the TPU under the driver).
-Env knobs: BENCH_PATTERNS, BENCH_CHARS, BENCH_REPS, BENCH_BLOCK.
+Individual modes remain selectable: BENCH_MODE in {cascade, cascade_hybrid,
+fused, small, dna, scan, counts, sparse, emit}.
+Env knobs: BENCH_PATTERNS, BENCH_CHARS, BENCH_REPS, BENCH_BLOCK,
+BENCH_DEVICE_DEADLINE, BENCH_MATRIX_BUDGET.
 """
 
 import json
@@ -40,36 +46,24 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    n_patterns = int(os.environ.get("BENCH_PATTERNS", 100_000))
-    n_chars = int(os.environ.get("BENCH_CHARS", 1 << 27))  # 134M chars
-    reps = int(os.environ.get("BENCH_REPS", 5))
-    # counts | scan | dna | cascade | cascade_hybrid
-    mode = os.environ.get("BENCH_MODE", "cascade_hybrid")
-
-    # persistent compilation cache: a user's first query on a big automaton
-    # pays the ~40-90 s remote compile only once per (automaton shape, mode)
+def _enable_cache():
     try:
         import jax
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from pyahocorasick_tpu.utils.compile_cache import ensure_compile_cache
+
+        ensure_compile_cache()
     except Exception:  # noqa: BLE001 — cache is an optimization only
         pass
 
+
+def _build(kind, n_patterns, rng):
     import pyahocorasick_tpu as ahocorasick
 
-    rng = np.random.default_rng(42)
-    if mode == "small":
-        # the small-dictionary production case: dozens of keywords ->
-        # bilinear-MXU state lookups (S*K fits one table), no HBM gather
-        n_patterns = int(os.environ.get("BENCH_PATTERNS", 30))
+    if kind == "small":
         letters = np.frombuffer(b"abcdefghijklmnop", dtype=np.uint8)
         lengths = rng.integers(4, 13, n_patterns)
-    elif mode == "dna":
+    elif kind == "dna":
         letters = np.frombuffer(b"acgt", dtype=np.uint8)
         lengths = np.full(n_patterns, 20)  # CRISPR-guide 20-mers
     else:
@@ -83,45 +77,287 @@ def main():
         w = bytes(letters[rng.integers(0, letters.size, n)]).decode()
         if A.add_word(w, seen):
             seen += 1
-    log(f"build trie: {time.time()-t0:.2f}s ({seen} unique words)")
-
+    build_s = time.time() - t0
     t0 = time.time()
     A.make_automaton()
     compiled = A._compiled
     log(
-        f"make_automaton: {time.time()-t0:.2f}s "
-        f"(S={compiled.num_states}, K={compiled.num_classes})"
+        f"[{kind}] trie {build_s:.2f}s ({seen} words), make_automaton "
+        f"{time.time()-t0:.2f}s (S={compiled.num_states}, K={compiled.num_classes})"
     )
+    return A, compiled, letters
 
+
+def _haystack(compiled, letters, n_chars, rng):
     hay = letters[rng.integers(0, letters.size, n_chars)]
-    cls = compiled.classes_of(hay.astype(np.uint32)).astype(np.int32)
+    return compiled.classes_of(hay.astype(np.uint32)).astype(np.int32)
 
-    def host_fallback(reason):
-        """Device unreachable: record the host C++ engine number instead."""
-        log(f"DEVICE PATH FAILED ({reason}); falling back to host engine")
-        from pyahocorasick_tpu import native
 
-        times = []
-        for _ in range(max(reps, 1)):
-            t0 = time.time()
-            states = native.scan_states_blocked(compiled, cls)
-            np.bincount(
-                compiled.match_count[states], minlength=2
-            )  # touch results
-            times.append(time.time() - t0)
-        best = min(times)
-        gbps = n_chars / best / 1e9
-        log(f"host blocked scan: {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
-        print(
-            json.dumps(
-                {
-                    "metric": "scan_GBps_100k_patterns_host_fallback",
-                    "value": round(gbps, 4),
-                    "unit": "GB/s",
-                    "vs_baseline": round(n_chars / best / REF_BYTES_PER_SEC, 2),
-                }
+def _time_best(fn, reps):
+    t0 = time.time()
+    first = fn()
+    cold = time.time() - t0
+    times = []
+    for _ in range(max(reps, 1)):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return first, cold, min(times)
+
+
+# --------------------------------------------------------------- sub-benches
+
+
+def bench_counts(compiled, cls, n_chars, reps, engine):
+    """Exact per-pattern counts via the cascade or fused engine; returns
+    (GB/s, cold_s) or None when gated."""
+    import jax.numpy as jnp
+
+    staged = jnp.asarray(np.ascontiguousarray(cls.astype(np.int8)))
+    if engine == "fused":
+        from pyahocorasick_tpu.ops import fused
+
+        Npad = -(-n_chars // fused._TILE) * fused._TILE
+        pad = np.zeros(Npad, np.int8)
+        pad[:n_chars] = cls
+        staged = jnp.asarray(pad)
+
+        def run():
+            return fused.count_matches_fused(
+                compiled, cls, staged=staged, short_on_host=True
+            )
+
+    else:
+        from pyahocorasick_tpu.ops import cascade
+
+        tabs = cascade.build_tables(compiled)
+        if tabs is None:
+            return None
+        tabs.device_arrays()
+
+        def run():
+            return cascade.count_matches_cascade(
+                compiled, cls, staged=staged, short_on_host=True
+            )
+
+    first, cold, best = _time_best(run, reps)
+    if first is None:
+        return None
+    log(
+        f"[{engine}] cold {cold:.2f}s, best {best*1e3:.1f} ms -> "
+        f"{n_chars/best/1e9:.3f} GB/s, total matches {int(first.sum())}"
+    )
+    return n_chars / best / 1e9, cold
+
+
+def bench_small(n_chars, reps, rng):
+    """30-keyword dictionary: bilinear-MXU DFA scan with packed flags."""
+    from pyahocorasick_tpu.ops import scan as jax_scan
+
+    import jax.numpy as jnp
+
+    _, compiled, letters = _build("small", 30, rng)
+    cls = _haystack(compiled, letters, n_chars, rng)
+    assert jax_scan.small_table_ok(compiled)
+    cls_tl, B = jax_scan.prepare_scan_input(compiled, cls, block=1024)
+    dev = jnp.asarray(cls_tl)
+    H = max(int(compiled.longest_word), 1)
+    tab = jax_scan._bilinear_signed_table(compiled)
+
+    def run():
+        s = jax_scan._blocked_scan_signed_bilinear_jit(
+            tab, dev, compiled.num_classes, H, B
+        )
+        return np.asarray(jax_scan._pack_flags_jit(s)[:8, :8])
+
+    _, cold, best = _time_best(run, reps)
+    gbps = n_chars / best / 1e9
+    log(f"[small] cold {cold:.2f}s, best {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
+    return gbps, cold
+
+
+def bench_dna(n_patterns, n_chars, reps, rng):
+    """100k 20-mer guides over ACGT: stride-2 packed counts."""
+    from pyahocorasick_tpu.ops import stride
+
+    import jax.numpy as jnp
+
+    _, compiled, letters = _build("dna", n_patterns, rng)
+    cls = _haystack(compiled, letters, n_chars, rng)
+    s2 = stride.build_stride2(compiled)
+    log(f"[dna] stride2 table: {'ok' if s2 else 'infeasible'}")
+    cls2_tl, H2 = stride.prepare_stride2_input(compiled, cls)
+    staged = (jnp.asarray(cls2_tl), H2)
+
+    def run():
+        return stride.count_total_stride2(compiled, cls, device_input=staged)
+
+    first, cold, best = _time_best(run, reps)
+    gbps = n_chars / best / 1e9
+    log(
+        f"[dna] cold {cold:.2f}s, best {best*1e3:.1f} ms -> {gbps:.3f} GB/s, "
+        f"total {first}"
+    )
+    return gbps, cold
+
+
+def bench_scan_raw(compiled, cls, n_chars, reps):
+    """Raw stride-1 DFA transition throughput (final states only)."""
+    from pyahocorasick_tpu.ops import scan as jax_scan
+
+    import jax.numpy as jnp
+
+    H = max(int(compiled.longest_word), 1)
+    B = jax_scan.choose_block(n_chars, H)
+    cls_tl, B = jax_scan.prepare_scan_input(compiled, cls, block=B)
+    dev = jnp.asarray(cls_tl)
+    tabs = jax_scan._device_tables(compiled)
+
+    def run():
+        return np.asarray(
+            jax_scan._blocked_scan_final_jit(
+                tabs["delta_flat"], dev, compiled.num_classes, H, B
             )
         )
+
+    _, cold, best = _time_best(run, reps)
+    gbps = n_chars / best / 1e9
+    log(f"[scan] cold {cold:.2f}s, best {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
+    return gbps, cold
+
+
+def bench_scan_mid(n_chars, reps, rng):
+    """Mid-size dictionary (10k patterns, ~150k states): stride-2 packed
+    scan — the hot/cold regime between the bilinear gate and the HBM
+    gather wall (S*K^2 fits the table budget here)."""
+    from pyahocorasick_tpu.ops import stride
+
+    import jax.numpy as jnp
+
+    _, compiled, letters = _build("text", 10_000, rng)
+    cls = _haystack(compiled, letters, n_chars, rng)
+    s2 = stride.build_stride2(compiled)
+    if s2 is None:
+        log("[scan_mid] stride2 infeasible")
+        return None
+    cls2_tl, H2 = stride.prepare_stride2_input(compiled, cls)
+    staged = (jnp.asarray(cls2_tl), H2)
+
+    def run():
+        return stride.count_total_stride2(compiled, cls, device_input=staged)
+
+    _, cold, best = _time_best(run, reps)
+    gbps = n_chars / best / 1e9
+    log(
+        f"[scan_mid] cold {cold:.2f}s, best {best*1e3:.1f} ms -> "
+        f"{gbps:.3f} GB/s (S={compiled.num_states})"
+    )
+    return gbps, cold
+
+
+# ------------------------------------------------------------------- matrix
+
+
+def run_matrix(n_patterns, n_chars, reps):
+    budget = float(os.environ.get("BENCH_MATRIX_BUDGET", DEVICE_DEADLINE_S * 0.85))
+    t_start = time.time()
+    out = {}
+
+    def left():
+        return budget - (time.time() - t_start)
+
+    rng = np.random.default_rng(42)
+    _, compiled, letters = _build("text", n_patterns, rng)
+    cls = _haystack(compiled, letters, n_chars, rng)
+
+    # 1. headline: exact counts at 100k patterns — fused then cascade
+    for engine in ("fused", "cascade"):
+        if left() < 60:
+            break
+        try:
+            r = bench_counts(compiled, cls, n_chars, reps, engine)
+        except Exception as e:  # noqa: BLE001
+            log(f"[{engine}] failed: {e!r}")
+            r = None
+        if r is not None:
+            key = "fused" if engine == "fused" else "cascade"
+            out[f"{key}_GBps"], out[f"{key}_cold_s"] = round(r[0], 4), round(
+                r[1], 2
+            )
+
+    # 2. small dictionary (bilinear MXU scan)
+    if left() > 60:
+        try:
+            g, c = bench_small(n_chars, reps, np.random.default_rng(43))
+            out["small_GBps"], out["small_cold_s"] = round(g, 4), round(c, 2)
+        except Exception as e:  # noqa: BLE001
+            log(f"[small] failed: {e!r}")
+
+    # 3. DNA 20-mers (stride-2)
+    if left() > 90:
+        try:
+            g, c = bench_dna(
+                n_patterns, n_chars, reps, np.random.default_rng(44)
+            )
+            out["dna_GBps"], out["dna_cold_s"] = round(g, 4), round(c, 2)
+        except Exception as e:  # noqa: BLE001
+            log(f"[dna] failed: {e!r}")
+
+    # 4. mid-size stride-2 scan
+    if left() > 90:
+        try:
+            r = bench_scan_mid(n_chars, reps, np.random.default_rng(45))
+            if r:
+                out["scan_mid_GBps"], out["scan_mid_cold_s"] = round(
+                    r[0], 4
+                ), round(r[1], 2)
+        except Exception as e:  # noqa: BLE001
+            log(f"[scan_mid] failed: {e!r}")
+
+    # 5. raw stride-1 DFA scan at 100k patterns (gather-wall reference)
+    if left() > 60:
+        try:
+            g, c = bench_scan_raw(compiled, cls, n_chars, reps)
+            out["scan_raw_GBps"], out["scan_raw_cold_s"] = round(g, 4), round(
+                c, 2
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"[scan] failed: {e!r}")
+
+    # primary metric: best exact-counts throughput at 100k patterns
+    candidates = [
+        (out.get("fused_GBps"), "fused"),
+        (out.get("cascade_GBps"), "cascade_hybrid"),
+    ]
+    candidates = [c for c in candidates if c[0]]
+    if not candidates:
+        return None
+    value, engine = max(candidates)
+    cold = out.get(f"{'fused' if engine == 'fused' else 'cascade'}_cold_s")
+    rec = {
+        "metric": "scan_GBps_100k_patterns",
+        "value": value,
+        "unit": "GB/s",
+        "vs_baseline": round(value * 1e9 / REF_BYTES_PER_SEC, 2),
+        "cold_start_s": cold,
+        "engine": engine,
+    }
+    rec.update(out)
+    return rec
+
+
+def main():
+    n_patterns = int(os.environ.get("BENCH_PATTERNS", 100_000))
+    n_chars = int(os.environ.get("BENCH_CHARS", 1 << 27))  # 134M chars
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    mode = os.environ.get("BENCH_MODE", "matrix")
+
+    _enable_cache()
+    import pyahocorasick_tpu as ahocorasick  # noqa: F401
+
+    def host_fallback(reason):
+        log(f"DEVICE PATH FAILED ({reason}); falling back to host engine")
+        _host_fallback_standalone()
         sys.exit(0)
 
     signal.signal(signal.SIGALRM, _alarm)
@@ -131,18 +367,22 @@ def main():
         import jax.numpy as jnp
 
         log(
-            f"backend: {jax.default_backend()}, devices: {jax.devices()}, mode={mode}"
+            f"backend: {jax.default_backend()}, devices: {jax.devices()}, "
+            f"mode={mode}"
         )
-        jnp.ones((4,)).sum().block_until_ready()  # cheap liveness check
-        np.asarray(jnp.ones((4,)).sum())
+        np.asarray(jnp.ones((4,)).sum())  # liveness (fetch through relay)
     except (_DeviceTimeout, Exception) as e:  # noqa: BLE001
         signal.alarm(0)
         host_fallback(repr(e) if not isinstance(e, _DeviceTimeout) else "timeout")
 
     try:
-        _run_device_modes(
-            mode, compiled, cls, n_chars, reps, host_fallback, jnp
-        )
+        if mode == "matrix":
+            rec = run_matrix(n_patterns, n_chars, reps)
+            if rec is None:
+                host_fallback("all matrix modes gated/failed")
+            print(json.dumps(rec))
+        else:
+            _run_single_mode(mode, n_patterns, n_chars, reps, host_fallback)
     except _DeviceTimeout:
         signal.alarm(0)
         host_fallback("timeout mid-run")
@@ -150,279 +390,116 @@ def main():
         signal.alarm(0)
 
 
-def _run_device_modes(mode, compiled, cls, n_chars, reps, host_fallback, jnp):
-    import time
-
-    from pyahocorasick_tpu.ops import scan as jax_scan
-
+def _run_single_mode(mode, n_patterns, n_chars, reps, host_fallback):
+    rng = np.random.default_rng(42)
     if mode == "small":
-        assert jax_scan.small_table_ok(compiled), "automaton too big for small mode"
-        cls_tl, B = jax_scan.prepare_scan_input(compiled, cls, block=1024)
-        dev = jnp.asarray(cls_tl)
-        H = max(int(compiled.longest_word), 1)
-        tab = jax_scan._bilinear_signed_table(compiled)
-
-        def run_small():
-            s = jax_scan._blocked_scan_signed_bilinear_jit(
-                tab, dev, compiled.num_classes, H, B
-            )
-            # packed flags: the full match-position product, fetched sparsely
-            return np.asarray(jax_scan._pack_flags_jit(s)[:8, :8])
-
-        t0 = time.time()
-        run_small()
-        cold_s = time.time() - t0
-        log(f"compile+first run: {cold_s:.2f}s")
-        times = []
-        for _ in range(reps):
-            t0 = time.time()
-            run_small()
-            times.append(time.time() - t0)
-        best = min(times)
-        gbps = n_chars / best / 1e9
-        log(f"small bilinear scan: {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
+        g, c = bench_small(n_chars, reps, rng)
         print(
             json.dumps(
                 {
                     "metric": "small_dict_scan_GBps_30_patterns",
-                    "value": round(gbps, 4),
+                    "value": round(g, 4),
                     "unit": "GB/s",
-                    "vs_baseline": round(n_chars / best / REF_BYTES_PER_SEC, 2),
-                    "cold_start_s": round(cold_s, 2),
+                    "vs_baseline": round(g * 1e9 / REF_BYTES_PER_SEC, 2),
+                    "cold_start_s": round(c, 2),
+                }
+            )
+        )
+        return
+    if mode == "dna":
+        g, c = bench_dna(n_patterns, n_chars, reps, rng)
+        print(
+            json.dumps(
+                {
+                    "metric": "dna_counts_GBps_100k_guides",
+                    "value": round(g, 4),
+                    "unit": "GB/s",
+                    "vs_baseline": round(g * 1e9 / REF_BYTES_PER_SEC, 2),
+                    "cold_start_s": round(c, 2),
+                }
+            )
+        )
+        return
+    if mode == "scan_mid":
+        r = bench_scan_mid(n_chars, reps, rng)
+        if r is None:
+            host_fallback("stride2 infeasible")
+        print(
+            json.dumps(
+                {
+                    "metric": "scan_mid_GBps_10k_patterns",
+                    "value": round(r[0], 4),
+                    "unit": "GB/s",
+                    "vs_baseline": round(r[0] * 1e9 / REF_BYTES_PER_SEC, 2),
+                    "cold_start_s": round(r[1], 2),
                 }
             )
         )
         return
 
-    if mode in ("cascade", "cascade_hybrid"):
-        from pyahocorasick_tpu.ops import cascade
-
-        tabs = cascade.build_tables(compiled)
-        if tabs is None:
-            log("cascade gated out; falling back to counts mode")
-            mode = "counts"
-        else:
-            tabs.device_arrays()  # upload tables pre-timing
-            staged = jnp.asarray(cls.astype(np.int8))
-            hybrid = mode == "cascade_hybrid"
-
-            def run_cascade():
-                return cascade.count_matches_cascade(
-                    compiled, cls, staged=staged, short_on_host=hybrid
-                )
-
-            t0 = time.time()
-            counts0 = run_cascade()
-            cold_s = time.time() - t0
-            log(
-                f"compile+first run: {cold_s:.2f}s, "
-                f"total matches {int(counts0.sum()) if counts0 is not None else 'GATED'}"
+    _, compiled, letters = _build("text", n_patterns, rng)
+    cls = _haystack(compiled, letters, n_chars, rng)
+    if mode in ("cascade", "cascade_hybrid", "fused", "counts"):
+        engine = "fused" if mode == "fused" else "cascade"
+        r = bench_counts(compiled, cls, n_chars, reps, engine)
+        if r is None:
+            host_fallback(f"{engine} gated")
+        print(
+            json.dumps(
+                {
+                    "metric": "scan_GBps_100k_patterns",
+                    "value": round(r[0], 4),
+                    "unit": "GB/s",
+                    "vs_baseline": round(r[0] * 1e9 / REF_BYTES_PER_SEC, 2),
+                    "cold_start_s": round(r[1], 2),
+                    "engine": mode,
+                }
             )
-            if counts0 is None:
-                host_fallback("cascade budget overflow")
-            times = []
-            for _ in range(reps):
-                t0 = time.time()
-                run_cascade()
-                times.append(time.time() - t0)
-            best = min(times)
-            gbps = n_chars / best / 1e9
-            log(f"cascade counts: {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
-            print(
-                json.dumps(
-                    {
-                        "metric": "scan_GBps_100k_patterns",
-                        "value": round(gbps, 4),
-                        "unit": "GB/s",
-                        "vs_baseline": round(
-                            n_chars / best / REF_BYTES_PER_SEC, 2
-                        ),
-                        "cold_start_s": round(cold_s, 2),
-                    }
-                )
+        )
+        return
+    if mode == "scan":
+        g, c = bench_scan_raw(compiled, cls, n_chars, reps)
+        print(
+            json.dumps(
+                {
+                    "metric": "scan_raw_GBps_100k_patterns",
+                    "value": round(g, 4),
+                    "unit": "GB/s",
+                    "vs_baseline": round(g * 1e9 / REF_BYTES_PER_SEC, 2),
+                    "cold_start_s": round(c, 2),
+                }
             )
-            return
-
+        )
+        return
     if mode == "emit":
-        # full (end_index, pattern_id) emission — the reference's iter()/
-        # find_all() semantics (src/AutomatonSearchIter.c:157-300) through
-        # the cascade pipeline.  Note: results are materialized on host, so
-        # through the remote relay (~10 MB/s fetch) match-dense corpora are
-        # transfer-bound; the metric is still end-to-end honest.
+        import jax.numpy as jnp
+
         from pyahocorasick_tpu.ops import cascade_emit
 
         staged = jnp.asarray(cls.astype(np.int8))
 
-        def run_emit():
-            return cascade_emit.emit_matches_cascade(
-                compiled, cls, staged=staged
-            )
+        def run():
+            return cascade_emit.emit_matches_cascade(compiled, cls, staged=staged)
 
-        t0 = time.time()
-        r0 = run_emit()
-        cold_s = time.time() - t0
-        if r0 is None:
-            host_fallback("cascade emit gated/overflowed")
-        log(
-            f"compile+first run: {cold_s:.2f}s, matches emitted {r0[0].size}"
-        )
-        times = []
-        for _ in range(reps):
-            t0 = time.time()
-            run_emit()
-            times.append(time.time() - t0)
-        best = min(times)
+        first, cold, best = _time_best(run, reps)
+        if first is None:
+            host_fallback("cascade emit gated")
         gbps = n_chars / best / 1e9
-        log(f"cascade emit: {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
+        log(f"[emit] cold {cold:.2f}s, best {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
         print(
             json.dumps(
                 {
                     "metric": "emit_GBps_100k_patterns",
                     "value": round(gbps, 4),
                     "unit": "GB/s",
-                    "vs_baseline": round(n_chars / best / REF_BYTES_PER_SEC, 2),
-                    "cold_start_s": round(cold_s, 2),
-                    "matches": int(r0[0].size),
+                    "vs_baseline": round(gbps * 1e9 / REF_BYTES_PER_SEC, 2),
+                    "cold_start_s": round(cold, 2),
+                    "matches": int(first[0].size),
                 }
             )
         )
         return
-
-    if mode == "dna":
-        from pyahocorasick_tpu.ops import stride
-
-        s2 = stride.build_stride2(compiled)
-        log(f"stride2 table: {'ok' if s2 else 'infeasible'}")
-        cls2_tl, H2 = stride.prepare_stride2_input(compiled, cls)
-        staged = (jnp.asarray(cls2_tl), H2)
-        log(f"staged pair classes: {cls2_tl.shape} {cls2_tl.dtype}")
-
-        def run_dna():
-            return stride.count_total_stride2(compiled, cls, device_input=staged)
-
-        t0 = time.time()
-        total = run_dna()
-        log(f"compile+first run: {time.time()-t0:.2f}s, total matches {total}")
-        times = []
-        for _ in range(reps):
-            t0 = time.time()
-            run_dna()
-            times.append(time.time() - t0)
-        best = min(times)
-        gbps = n_chars / best / 1e9
-        log(f"dna stride2: {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
-        print(
-            json.dumps(
-                {
-                    "metric": "dna_counts_GBps_100k_guides",
-                    "value": round(gbps, 4),
-                    "unit": "GB/s",
-                    "vs_baseline": round(n_chars / best / REF_BYTES_PER_SEC, 2),
-                }
-            )
-        )
-        return
-
-    H = max(int(compiled.longest_word), 1)
-    B = int(os.environ.get("BENCH_BLOCK", 0)) or jax_scan.choose_block(n_chars, H)
-    B = max(B, H)
-    L = -(-n_chars // B)
-    Lp = 1 << (L - 1).bit_length()
-    ext = np.zeros(H + Lp * B, dtype=np.int32)
-    ext[H : H + n_chars] = cls
-    win = np.lib.stride_tricks.sliding_window_view(ext, H + B)[::B][:Lp]
-    cls_tl = jnp.asarray(np.ascontiguousarray(win.T))
-    tabs = jax_scan._device_tables(compiled)
-
-    if mode == "sparse":
-        from pyahocorasick_tpu import native as native_mod
-        from pyahocorasick_tpu.ops import cpu as cpu_ops
-
-        cls_tl2, B2 = jax_scan.prepare_scan_input(compiled, cls)
-        staged = (jnp.asarray(cls_tl2), B2)
-
-        def run_sparse():
-            positions = jax_scan.matched_positions_jax(
-                compiled, cls, staged=staged
-            )
-            states_at = native_mod.resolve_states(compiled, cls, positions)
-            _, pids = cpu_ops.expand_matches(compiled, positions, states_at)
-            return np.bincount(pids, minlength=compiled.num_patterns)
-
-        t0 = time.time()
-        counts0 = run_sparse()
-        log(
-            f"compile+first run: {time.time()-t0:.2f}s, "
-            f"total matches {int(counts0.sum())}"
-        )
-        times = []
-        for _ in range(reps):
-            t0 = time.time()
-            run_sparse()
-            times.append(time.time() - t0)
-        best = min(times)
-        gbps = n_chars / best / 1e9
-        log(f"sparse counts: {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
-        print(
-            json.dumps(
-                {
-                    "metric": "scan_GBps_100k_patterns",
-                    "value": round(gbps, 4),
-                    "unit": "GB/s",
-                    "vs_baseline": round(n_chars / best / REF_BYTES_PER_SEC, 2),
-                }
-            )
-        )
-        return
-
-    def run_counts():
-        if mode == "scan":
-            out = jax_scan._blocked_scan_final_jit(
-                tabs["delta_flat"], cls_tl, compiled.num_classes, H, B
-            )
-        else:
-            out = jax_scan._blocked_count_jit(
-                tabs["delta_flat"],
-                tabs["match_count"],
-                tabs["out_ids"],
-                tabs["row_of"],
-                cls_tl,
-                jnp.int32(n_chars),
-                compiled.num_classes,
-                H,
-                B,
-                compiled.num_states,
-                compiled.num_patterns,
-            )
-        # fetch to host: through remote-relay backends block_until_ready()
-        # can return before execution finishes; a device_get cannot
-        return np.asarray(out)
-
-    t0 = time.time()
-    counts = run_counts()
-    log(f"compile+first run: {time.time()-t0:.2f}s, total matches {int(counts.sum())}")
-
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        run_counts()
-        times.append(time.time() - t0)
-    best = min(times)
-    bytes_per_sec = n_chars / best
-    gbps = bytes_per_sec / 1e9
-    log(f"scan: {best*1e3:.1f} ms for {n_chars/1e6:.0f} Mchars -> {gbps:.3f} GB/s")
-    log(f"block={B}, lanes={Lp}, halo={H}")
-
-    print(
-        json.dumps(
-            {
-                "metric": "scan_GBps_100k_patterns",
-                "value": round(gbps, 4),
-                "unit": "GB/s",
-                "vs_baseline": round(bytes_per_sec / REF_BYTES_PER_SEC, 2),
-            }
-        )
-    )
+    host_fallback(f"unknown mode {mode}")
 
 
 def supervised_main():
@@ -476,7 +553,7 @@ def _host_fallback_standalone():
     """Rebuild on the host and report the blocked-scan metric."""
     n_patterns = int(os.environ.get("BENCH_PATTERNS", 100_000))
     n_chars = int(os.environ.get("BENCH_CHARS", 1 << 25))
-    reps = int(os.environ.get("BENCH_REPS", 5))
+    reps = int(os.environ.get("BENCH_REPS", 3))
 
     os.environ["PYAHOCORASICK_TPU_ENGINE"] = "seq"
     import pyahocorasick_tpu as ahocorasick
