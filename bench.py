@@ -117,7 +117,7 @@ def bench_counts(compiled, cls, n_chars, reps, engine):
     if engine == "fused":
         from pyahocorasick_tpu.ops import fused
 
-        Npad = -(-n_chars // fused._TILE) * fused._TILE
+        Npad = fused._bucket_tiles(-(-n_chars // fused._TILE)) * fused._TILE
         pad = np.zeros(Npad, np.int8)
         pad[:n_chars] = cls
         staged = jnp.asarray(pad)
@@ -267,8 +267,15 @@ def run_matrix(n_patterns, n_chars, reps):
         return budget - (time.time() - t_start)
 
     rng = np.random.default_rng(42)
-    _, compiled, letters = _build("text", n_patterns, rng)
+    A, compiled, letters = _build("text", n_patterns, rng)
+    # overlap the device compile/cache-load with haystack generation — the
+    # same overlap a real user gets from Automaton.prewarm during data load
+    th = A.prewarm(n_chars)
     cls = _haystack(compiled, letters, n_chars, rng)
+    t0 = time.time()
+    th.join(DEVICE_DEADLINE_S / 2)
+    out["prewarm_wait_s"] = round(time.time() - t0, 2)
+    log(f"[prewarm] blocking wait after haystack prep: {out['prewarm_wait_s']}s")
 
     # 1. headline: exact counts at 100k patterns — fused then cascade
     for engine in ("fused", "cascade"):

@@ -565,6 +565,50 @@ class Automaton:
                 pass
         return int(engines.count_matches(compiled, cls).sum())
 
+    def prewarm(self, n_chars_hint=1 << 27, mode="counts"):
+        """Start compiling/loading the device scan programs in a background
+        thread and return the (started) ``threading.Thread``.
+
+        Device engines jit-compile per input-size bucket; the first query
+        of a fresh process pays compile (or persistent-cache load) plus
+        dispatch warmup.  Call ``prewarm`` right after ``make_automaton``
+        with the approximate corpus size and overlap that latency with
+        your own data loading; ``join()`` the thread (or just issue the
+        first query) when ready.  The reference has no analog — searches
+        there start cold by construction (src/AutomatonSearchIter.c).
+
+        Example::
+
+            A.make_automaton()
+            t = A.prewarm(len(corpus))
+            corpus = load_corpus()   # overlaps the compile
+            t.join()
+            hits = A.count_matches(corpus)   # warm
+        """
+        import threading
+
+        if self._kind != AHOCORASICK:
+            raise AttributeError(
+                "not an automaton yet; add some words and call make_automaton"
+            )
+        compiled = self._ensure_compiled()
+        run = (
+            (lambda c: engines.count_matches(compiled, c))
+            if mode == "counts"
+            else (lambda c: engines.emit(compiled, c))
+        )
+
+        def _warm():
+            try:
+                cls = np.zeros(int(n_chars_hint), np.int32)
+                run(cls)
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
+
+        th = threading.Thread(target=_warm, daemon=True)
+        th.start()
+        return th
+
     def profile_scan(self, string, mode="counts", reps=3):
         """Per-stage wall-clock profile of one scan over ``string``.
 

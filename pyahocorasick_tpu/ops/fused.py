@@ -415,19 +415,38 @@ _FLAGS_CACHE: dict = {}
 _POST_CACHE: dict = {}
 
 
+def _pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
 def _budgets(N: int, s1: float):
     """Compaction budgets sized from the estimated stage-1 survivor rate
-    (x3 safety, floor 4096); overflow is detected and returns None."""
+    (x3 safety, floor 4096, rounded to powers of two so the set of compiled
+    post programs stays bounded); overflow is detected and returns None."""
     if N <= (1 << 16):
         nblk = -(-N // 32)
         return nblk, N, N
     p32 = 1.0 - (1.0 - s1) ** 32
     p8 = 1.0 - (1.0 - s1) ** 8
     nblk = -(-N // 32)
-    bbud = min(nblk, max(1 << 12, int(nblk * p32 * 3)))
-    sbud = min(nblk * 4, max(1 << 12, int((N // 8) * p8 * 3)))
-    cbud = min(N, max(1 << 12, int(N * s1 * 3)))
+    bbud = min(nblk, max(1 << 12, _pow2(nblk * p32 * 3)))
+    sbud = min(nblk * 4, max(1 << 12, _pow2((N // 8) * p8 * 3)))
+    cbud = min(N, max(1 << 12, _pow2(N * s1 * 3)))
     return bbud, sbud, cbud
+
+
+def _bucket_tiles(n_tiles: int) -> int:
+    """Round the tile count up to {1, 1.25, 1.5, 1.75} x 2^k so the flags
+    program compiles for a bounded set of shapes (<= 25% padding waste)."""
+    if n_tiles <= 4:
+        return n_tiles
+    k = (n_tiles - 1).bit_length() - 1
+    base = 1 << k
+    for frac in (4, 5, 6, 7, 8):
+        cand = base * frac // 4
+        if cand >= n_tiles:
+            return cand
+    return base * 2
 
 
 def count_matches_fused(
@@ -461,10 +480,11 @@ def count_matches_fused(
     if N == 0:
         return np.zeros(compiled.num_patterns, np.int64)
 
-    # pad to a whole number of kernel tiles (class 0 tail cannot create
-    # candidates that survive verification)
-    Npad = -(-N // _TILE) * _TILE
-    n_tiles = Npad // _TILE
+    # pad to a bucketed number of kernel tiles (class 0 tail cannot create
+    # candidates that survive verification; bucketing bounds the set of
+    # compiled flag programs at <= 25% padding waste)
+    n_tiles = _bucket_tiles(-(-N // _TILE))
+    Npad = n_tiles * _TILE
     bbud, sbud, cbud = _budgets(Npad, max(ft.s1_est, 1e-4))
 
     interp = _use_interpret()

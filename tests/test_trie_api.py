@@ -250,3 +250,17 @@ def test_profile_scan():
     B = ahocorasick.Automaton()
     with _pytest.raises(AttributeError):
         B.profile_scan("x")
+
+
+def test_prewarm():
+    A = ahocorasick.Automaton()
+    for w in ["he", "hers", "she"]:
+        A.add_word(w, w)
+    A.make_automaton()
+    th = A.prewarm(1 << 12)
+    th.join(60)
+    assert not th.is_alive()
+    assert sum(1 for _ in A.iter("_sherhershe_")) == 8
+    B = ahocorasick.Automaton()
+    with pytest.raises(AttributeError):
+        B.prewarm()

@@ -497,6 +497,475 @@ def p6(R=256, T=2048, C2=128, n_tiles=4096, reps=5, interpret=False):
     )
 
 
+
+# -------- P7: P6 with a compile-size diet — fori_loop chunk loops and a
+# host-precomputed block-diagonal triangular matrix for the intra-chunk
+# prefix (P6's 16x unrolled matmul chain exceeded a 15-minute Mosaic
+# compile).  Same math, ~4x smaller program.
+def p7(R=256, T=2048, C2=128, n_tiles=4096, reps=5, interpret=False):
+    OV = 8
+    Tp = T + OV
+    N = T * n_tiles
+    M1, M2, M3 = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE35
+    rng = np.random.default_rng(1)
+
+    def mktab(rows, bits, frac):
+        w = (rng.random((rows, 128, bits)) < frac).astype(np.int64)
+        words = (w * (1 << np.arange(bits))).sum(axis=2)
+        return words.astype(np.float32)
+
+    b1_t = mktab(R, 24, 0.27)      # k3 pass ~ 2% -> AND-shift ~ 4e-4
+    w4_t = mktab(128, 8, 0.06)     # k2 pass ~ 3.6e-3
+    s2a_t = mktab(128, 24, 0.38)
+    s2b_t = mktab(128, 24, 0.38)
+    w4b_t = mktab(128, 8, 0.06)
+    g4 = rng.integers(0, 1 << 24, N).astype(np.int32)
+    # block-diagonal inclusive-triangular (T,T) bf16: intra-chunk prefix in
+    # ONE matmul (values <= 128, exact in bf16)
+    ii = np.arange(T)
+    bd = ((ii[:, None] // 128 == ii[None, :] // 128) &
+          (ii[None, :] <= ii[:, None])).astype(np.float32)
+
+    def fetch(tab, widx, highest=True):
+        rows = tab.shape[0]
+        n = widx.shape[0]
+        a = widx >> 7
+        c = widx & 127
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (n, rows), 1)
+        oh = (a == iota_r).astype(tab.dtype)
+        r = jax.lax.dot_general(
+            oh, tab, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST if highest else None,
+            preferred_element_type=jnp.float32,
+        )
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+        return (
+            jnp.where(c == iota_c, r, 0.0).sum(axis=1, keepdims=True)
+        ).astype(jnp.int32)
+
+    def bloom16(tab, u, mult, mask):
+        h = (u * jnp.uint32(mult)).astype(jnp.uint32)
+        widx = ((h >> jnp.uint32(15)) & jnp.uint32(mask)).astype(jnp.int32)
+        b1 = (h & jnp.uint32(7)).astype(jnp.int32)
+        b2 = 8 + ((h >> jnp.uint32(3)) & jnp.uint32(7)).astype(jnp.int32)
+        b3 = 16 + ((h >> jnp.uint32(6)) & jnp.uint32(7)).astype(jnp.int32)
+        w = fetch(tab, widx)
+        return (w >> b1) & (w >> b2) & (w >> b3) & 1
+
+    def bloom8(tab, u, mult):
+        h = (u * jnp.uint32(mult)).astype(jnp.uint32)
+        widx = ((h >> jnp.uint32(14)) & jnp.uint32(16383)).astype(jnp.int32)
+        b1 = (h & jnp.uint32(3)).astype(jnp.int32)
+        b2 = 4 + ((h >> jnp.uint32(2)) & jnp.uint32(3)).astype(jnp.int32)
+        w = fetch(tab, widx)
+        return (w >> b1) & (w >> b2) & 1
+
+    B1MASK = R * 128 - 1
+
+    def kernel(b1_ref, w4_ref, s2a_ref, s2b_ref, w4b_ref, bd_ref, g4_ref,
+               mask_ref, meta_ref):
+        g = g4_ref[:]                       # (Tp,1) i32
+        u = g.astype(jnp.uint32)
+        hit1 = bloom16(b1_ref[:], u, M1, B1MASK)
+        deep1 = hit1 & pltpu.roll(hit1, 1, axis=0)
+        hw = bloom8(w4_ref[:], u, M2)
+        kinds = (deep1 | (hw << 1))[OV:]    # (T,1)
+        kinds_any = (kinds | (kinds >> 1)) & 1
+        ff = kinds_any.astype(jnp.float32)
+        # --- intra-chunk inclusive prefix: ONE block-diag matmul (bf16)
+        intra = jax.lax.dot_general(
+            bd_ref[:], ff.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                    # (T,1) values <= 128
+        # --- chunk offsets via a small fori loop (16 iters)
+        def off_body(r, carry):
+            offs, acc = carry
+            tot = jnp.sum(
+                jax.lax.dynamic_slice(ff, (r * 128, 0), (128, 1)))
+            offs = jax.lax.dynamic_update_slice(
+                offs, jnp.zeros((128, 1), jnp.float32) + acc, (r * 128, 0))
+            return offs, acc + tot
+        offs0 = jnp.zeros((T, 1), jnp.float32)
+        offs, nsurv = jax.lax.fori_loop(
+            0, T // 128, off_body, (offs0, jnp.float32(0.0)))
+        incl = intra + offs
+        slot = incl.astype(jnp.int32) - 1
+        # --- O (T, C2)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (T, C2), 1)
+        O = ((slot == iota_j).astype(jnp.int32) * kinds_any).astype(
+            jnp.float32)
+        # --- compact (g4, g4prev, kinds) -> (C2,3) via fori chunks
+        gp = pltpu.roll(g, 1, axis=0)
+        V = jnp.concatenate(
+            [g[OV:], gp[OV:], kinds], axis=1).astype(jnp.float32)  # (T,3)
+        ii2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        jj2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        I128 = (ii2 == jj2).astype(jnp.int32)
+        iota_jc = jax.lax.broadcasted_iota(jnp.int32, (C2, 128), 0)
+
+        def cv_body(r, cv):
+            sc = jax.lax.dynamic_slice(slot, (r * 128, 0), (128, 1))
+            fc = jax.lax.dynamic_slice(kinds_any, (r * 128, 0), (128, 1))
+            sr = (I128 * sc).sum(axis=0, keepdims=True)
+            fr = (I128 * fc).sum(axis=0, keepdims=True)
+            OcT = ((sr == iota_jc).astype(jnp.int32) * fr).astype(
+                jnp.float32)
+            Vc = jax.lax.dynamic_slice(V, (r * 128, 0), (128, 3))
+            return cv + jax.lax.dot_general(
+                OcT, Vc, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        cv = jax.lax.fori_loop(
+            0, T // 128, cv_body, jnp.zeros((C2, 3), jnp.float32))
+        cg4 = cv[:, 0:1].astype(jnp.int32)
+        cgp = cv[:, 1:2].astype(jnp.int32)
+        ck = cv[:, 2:3].astype(jnp.int32)
+        d2 = bloom16(s2a_ref[:], cg4.astype(jnp.uint32), M2, 16383) & \
+            bloom16(s2b_ref[:], cgp.astype(jnp.uint32), M3, 16383)
+        w2 = bloom8(w4b_ref[:], cg4.astype(jnp.uint32), M3)
+        final_c = (((ck & 1) & d2) | (((ck >> 1) & 1) & w2)).astype(
+            jnp.float32)
+        fin = jax.lax.dot_general(
+            O, final_c, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        mask_ref[:] = fin.astype(jnp.int32)
+        meta_ref[:] = jnp.zeros_like(meta_ref) + nsurv
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 1), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(tabs, g4_flat):
+        g4pad = jnp.pad(g4_flat, (OV, 0))
+
+        def tile_fn(t):
+            sl = jax.lax.dynamic_slice(g4pad, (t * T,), (Tp,))
+            m, meta = call(*tabs, sl[:, None])
+            return jnp.sum(m), meta[0, 0]
+
+        sums, metas = jax.lax.map(
+            tile_fn, jnp.arange(n_tiles, dtype=jnp.int32))
+        return sums.sum(), metas.max()
+
+    tabs = (
+        jnp.asarray(b1_t), jnp.asarray(w4_t), jnp.asarray(s2a_t),
+        jnp.asarray(s2b_t), jnp.asarray(w4b_t),
+        jnp.asarray(bd, jnp.bfloat16),
+    )
+    g4_d = jnp.asarray(g4)
+    t0 = time.time()
+    tot, mx = (np.asarray(x) for x in run(tabs, g4_d))
+    log(
+        f"P7 compile+run: {time.time()-t0:.1f}s, final={int(tot)} "
+        f"({int(tot)/N:.5%}), max tile survivors={float(mx):.0f}/{C2}"
+    )
+    best = timeit(lambda: np.asarray(run(tabs, g4_d)[0]), reps)
+    log(
+        f"P7 full fused kernel (R={R}, C2={C2}, N={N/1e6:.0f}M): "
+        f"{best*1e3:.1f} ms -> {best/N*1e9:.3f} ns/char = {N/best/1e9:.3f} GB/s"
+    )
+
+
+
+# -------- P8: P7 with ref-based chunk loops — Mosaic has no dynamic_slice
+# on VALUES (P7 failed), but dynamic slices of VMEM refs (pl.ds) lower
+# fine, so intermediates round-trip through scratch refs.
+def p8(R=256, T=2048, C2=128, n_tiles=4096, reps=5, interpret=False):
+    OV = 8
+    Tp = T + OV
+    N = T * n_tiles
+    M1, M2, M3 = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE35
+    rng = np.random.default_rng(1)
+
+    def mktab(rows, bits, frac):
+        w = (rng.random((rows, 128, bits)) < frac).astype(np.int64)
+        words = (w * (1 << np.arange(bits))).sum(axis=2)
+        return words.astype(np.float32)
+
+    b1_t = mktab(R, 24, 0.27)
+    w4_t = mktab(128, 8, 0.06)
+    s2a_t = mktab(128, 24, 0.38)
+    s2b_t = mktab(128, 24, 0.38)
+    w4b_t = mktab(128, 8, 0.06)
+    g4 = rng.integers(0, 1 << 24, N).astype(np.int32)
+    ii = np.arange(T)
+    bd = ((ii[:, None] // 128 == ii[None, :] // 128) &
+          (ii[None, :] <= ii[:, None])).astype(np.float32)
+
+    def fetch(tab, widx, highest=True):
+        rows = tab.shape[0]
+        n = widx.shape[0]
+        a = widx >> 7
+        c = widx & 127
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (n, rows), 1)
+        oh = (a == iota_r).astype(tab.dtype)
+        r = jax.lax.dot_general(
+            oh, tab, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST if highest else None,
+            preferred_element_type=jnp.float32,
+        )
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+        return (
+            jnp.where(c == iota_c, r, 0.0).sum(axis=1, keepdims=True)
+        ).astype(jnp.int32)
+
+    def bloom16(tab, u, mult, mask):
+        h = (u * jnp.uint32(mult)).astype(jnp.uint32)
+        widx = ((h >> jnp.uint32(15)) & jnp.uint32(mask)).astype(jnp.int32)
+        b1 = (h & jnp.uint32(7)).astype(jnp.int32)
+        b2 = 8 + ((h >> jnp.uint32(3)) & jnp.uint32(7)).astype(jnp.int32)
+        b3 = 16 + ((h >> jnp.uint32(6)) & jnp.uint32(7)).astype(jnp.int32)
+        w = fetch(tab, widx)
+        return (w >> b1) & (w >> b2) & (w >> b3) & 1
+
+    def bloom8(tab, u, mult):
+        h = (u * jnp.uint32(mult)).astype(jnp.uint32)
+        widx = ((h >> jnp.uint32(14)) & jnp.uint32(16383)).astype(jnp.int32)
+        b1 = (h & jnp.uint32(3)).astype(jnp.int32)
+        b2 = 4 + ((h >> jnp.uint32(2)) & jnp.uint32(3)).astype(jnp.int32)
+        w = fetch(tab, widx)
+        return (w >> b1) & (w >> b2) & 1
+
+    B1MASK = R * 128 - 1
+
+    def kernel(b1_ref, w4_ref, s2a_ref, s2b_ref, w4b_ref, bd_ref, g4_ref,
+               mask_ref, meta_ref,
+               ff_s, intra_s, slot_s, ka_s, g4c_s, gpc_s, kinds_s):
+        g = g4_ref[:]                       # (Tp,1) i32
+        u = g.astype(jnp.uint32)
+        hit1 = bloom16(b1_ref[:], u, M1, B1MASK)
+        deep1 = hit1 & pltpu.roll(hit1, 1, axis=0)
+        hw = bloom8(w4_ref[:], u, M2)
+        kinds = (deep1 | (hw << 1))[OV:]    # (T,1)
+        ka = (kinds | (kinds >> 1)) & 1
+        ff = ka.astype(jnp.float32)
+        ff_s[:] = ff
+        ka_s[:] = ka
+        kinds_s[:] = kinds
+        g4c_s[:] = g[OV:].astype(jnp.float32)
+        gpc_s[:] = pltpu.roll(g, 1, axis=0)[OV:].astype(jnp.float32)
+        intra_s[:] = jax.lax.dot_general(
+            bd_ref[:], ff.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        def off_body(r, acc):
+            fslice = ff_s[pl.ds(r * 128, 128), :]
+            slot_s[pl.ds(r * 128, 128), :] = (
+                intra_s[pl.ds(r * 128, 128), :] + acc
+            ).astype(jnp.int32) - 1
+            return acc + jnp.sum(fslice)
+
+        nsurv = jax.lax.fori_loop(0, T // 128, off_body, jnp.float32(0.0))
+
+        slot = slot_s[:]
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (T, C2), 1)
+        O = ((slot == iota_j).astype(jnp.int32) * ka_s[:]).astype(
+            jnp.float32)
+
+        ii2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        jj2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        I128 = (ii2 == jj2).astype(jnp.int32)
+        iota_jc = jax.lax.broadcasted_iota(jnp.int32, (C2, 128), 0)
+
+        def cv_body(r, cv):
+            sc = slot_s[pl.ds(r * 128, 128), :]
+            fc = ka_s[pl.ds(r * 128, 128), :]
+            sr = (I128 * sc).sum(axis=0, keepdims=True)
+            fr = (I128 * fc).sum(axis=0, keepdims=True)
+            OcT = ((sr == iota_jc).astype(jnp.int32) * fr).astype(
+                jnp.float32)
+            Vc = jnp.concatenate(
+                [
+                    g4c_s[pl.ds(r * 128, 128), :],
+                    gpc_s[pl.ds(r * 128, 128), :],
+                    kinds_s[pl.ds(r * 128, 128), :].astype(jnp.float32),
+                ],
+                axis=1,
+            )
+            return cv + jax.lax.dot_general(
+                OcT, Vc, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        cv = jax.lax.fori_loop(
+            0, T // 128, cv_body, jnp.zeros((C2, 3), jnp.float32))
+        cg4 = cv[:, 0:1].astype(jnp.int32)
+        cgp = cv[:, 1:2].astype(jnp.int32)
+        ck = cv[:, 2:3].astype(jnp.int32)
+        d2 = bloom16(s2a_ref[:], cg4.astype(jnp.uint32), M2, 16383) & \
+            bloom16(s2b_ref[:], cgp.astype(jnp.uint32), M3, 16383)
+        w2 = bloom8(w4b_ref[:], cg4.astype(jnp.uint32), M3)
+        final_c = (((ck & 1) & d2) | (((ck >> 1) & 1) & w2)).astype(
+            jnp.float32)
+        fin = jax.lax.dot_general(
+            O, final_c, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        mask_ref[:] = fin.astype(jnp.int32)
+        meta_ref[:] = jnp.zeros_like(meta_ref) + nsurv
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 1), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T, 1), jnp.float32),   # ff
+            pltpu.VMEM((T, 1), jnp.float32),   # intra
+            pltpu.VMEM((T, 1), jnp.int32),     # slot
+            pltpu.VMEM((T, 1), jnp.int32),     # ka
+            pltpu.VMEM((T, 1), jnp.float32),   # g4 f32
+            pltpu.VMEM((T, 1), jnp.float32),   # g4prev f32
+            pltpu.VMEM((T, 1), jnp.int32),     # kinds
+        ],
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(tabs, g4_flat):
+        g4pad = jnp.pad(g4_flat, (OV, 0))
+
+        def tile_fn(t):
+            sl = jax.lax.dynamic_slice(g4pad, (t * T,), (Tp,))
+            m, meta = call(*tabs, sl[:, None])
+            return jnp.sum(m), meta[0, 0]
+
+        sums, metas = jax.lax.map(
+            tile_fn, jnp.arange(n_tiles, dtype=jnp.int32))
+        return sums.sum(), metas.max()
+
+    tabs = (
+        jnp.asarray(b1_t), jnp.asarray(w4_t), jnp.asarray(s2a_t),
+        jnp.asarray(s2b_t), jnp.asarray(w4b_t),
+        jnp.asarray(bd, jnp.bfloat16),
+    )
+    g4_d = jnp.asarray(g4)
+    t0 = time.time()
+    tot, mx = (np.asarray(x) for x in run(tabs, g4_d))
+    log(
+        f"P8 compile+run: {time.time()-t0:.1f}s, final={int(tot)} "
+        f"({int(tot)/N:.5%}), max tile survivors={float(mx):.0f}/{C2}"
+    )
+    best = timeit(lambda: np.asarray(run(tabs, g4_d)[0]), reps)
+    log(
+        f"P8 full fused kernel (R={R}, C2={C2}, N={N/1e6:.0f}M): "
+        f"{best*1e3:.1f} ms -> {best/N*1e9:.3f} ns/char = {N/best/1e9:.3f} GB/s"
+    )
+
+
+
+# -------- P9: production stage-1 kernel — pow2 hashes only, B1 (AND-shift)
+# + W4, mask output; compaction stays in XLA.  The P5 9.8 ns/char came from
+# non-pow2 modulos; this measures the clean stage-1 cost.
+def p9(R=512, T=2048, n_tiles=4096, reps=5, interpret=False):
+    OV = 8
+    Tp = T + OV
+    N = T * n_tiles
+    M1, M2 = 0x9E3779B1, 0x85EBCA77
+    rng = np.random.default_rng(1)
+
+    def mktab(rows, bits, frac):
+        w = (rng.random((rows, 128, bits)) < frac).astype(np.int64)
+        words = (w * (1 << np.arange(bits))).sum(axis=2)
+        return words.astype(np.float32)
+
+    b1_t = mktab(R, 24, 0.31)      # k3 pass ~3% at per-bit 0.31
+    w4_t = mktab(128, 8, 0.06)
+    g4 = rng.integers(0, 1 << 24, N).astype(np.int32)
+
+    def fetch(tab, widx):
+        rows = tab.shape[0]
+        n = widx.shape[0]
+        a = widx >> 7
+        c = widx & 127
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (n, rows), 1)
+        oh = (a == iota_r).astype(tab.dtype)
+        r = jax.lax.dot_general(
+            oh, tab, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+        return (
+            jnp.where(c == iota_c, r, 0.0).sum(axis=1, keepdims=True)
+        ).astype(jnp.int32)
+
+    B1MASK = R * 128 - 1
+
+    def kernel(b1_ref, w4_ref, g4_ref, mask_ref):
+        g = g4_ref[:]                       # (Tp,1) i32
+        u = g.astype(jnp.uint32)
+        h = (u * jnp.uint32(M1)).astype(jnp.uint32)
+        widx = ((h >> jnp.uint32(15)) & jnp.uint32(B1MASK)).astype(jnp.int32)
+        b1 = (h & jnp.uint32(7)).astype(jnp.int32)
+        b2 = 8 + ((h >> jnp.uint32(3)) & jnp.uint32(7)).astype(jnp.int32)
+        b3 = 16 + ((h >> jnp.uint32(6)) & jnp.uint32(7)).astype(jnp.int32)
+        w = fetch(b1_ref[:], widx)
+        hit1 = (w >> b1) & (w >> b2) & (w >> b3) & 1
+        deep1 = hit1 & pltpu.roll(hit1, 1, axis=0)
+        h4 = (u * jnp.uint32(M2)).astype(jnp.uint32)
+        widx4 = ((h4 >> jnp.uint32(14)) & jnp.uint32(16383)).astype(jnp.int32)
+        c1 = (h4 & jnp.uint32(3)).astype(jnp.int32)
+        c2 = 4 + ((h4 >> jnp.uint32(2)) & jnp.uint32(3)).astype(jnp.int32)
+        w4w = fetch(w4_ref[:], widx4)
+        hw = (w4w >> c1) & (w4w >> c2) & 1
+        mask_ref[:] = (deep1 | (hw << 1))[OV:]
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, 1), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(b1, w4, g4_flat):
+        g4pad = jnp.pad(g4_flat, (OV, 0))
+
+        def tile_fn(t):
+            sl = jax.lax.dynamic_slice(g4pad, (t * T,), (Tp,))
+            return jnp.sum(call(b1, w4, sl[:, None]))
+
+        return jax.lax.map(
+            tile_fn, jnp.arange(n_tiles, dtype=jnp.int32)).sum()
+
+    b1_d, w4_d, g4_d = jnp.asarray(b1_t), jnp.asarray(w4_t), jnp.asarray(g4)
+    t0 = time.time()
+    tot = int(np.asarray(run(b1_d, w4_d, g4_d)))
+    log(f"P9 compile+run: {time.time()-t0:.1f}s, s1 mask sum={tot} ({tot/N:.4%})")
+    best = timeit(lambda: np.asarray(run(b1_d, w4_d, g4_d)), reps)
+    log(
+        f"P9 stage-1 kernel (R={R}, N={N/1e6:.0f}M): {best*1e3:.1f} ms -> "
+        f"{best/N*1e9:.3f} ns/char = {N/best/1e9:.3f} GB/s"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["p0", "p1", "p2", "p3", "p4"]
     for name in which:
