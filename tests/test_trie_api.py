@@ -260,7 +260,8 @@ def test_prewarm():
     th = A.prewarm(1 << 12)
     th.join(60)
     assert not th.is_alive()
-    assert sum(1 for _ in A.iter("_sherhershe_")) == 8
+    # he@{3,6,10}, she@{3,10}, hers@7
+    assert sum(1 for _ in A.iter("_sherhershe_")) == 6
     B = ahocorasick.Automaton()
     with pytest.raises(AttributeError):
         B.prewarm()
