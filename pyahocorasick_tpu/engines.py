@@ -74,6 +74,18 @@ def scan_states(
         else:
             engine = "seq"
 
+    if engine == "assoc":
+        # associative transition-composition decomposition (ops/assoc.py):
+        # exact with no bounded-history assumption; correctness cross-check
+        try:
+            from .ops import assoc
+
+            if assoc.assoc_ok(compiled):
+                return assoc.scan_states_assoc(compiled, cls, halo)
+        except ImportError:
+            _jax_failed = True
+        engine = "numpy"  # gated out (too many states): exact fallback
+
     if engine == "jax":
         try:
             from .ops import scan as jax_scan

@@ -24,9 +24,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(params=["seq", "numpy", "jax"])
+@pytest.fixture(params=["seq", "numpy", "jax", "assoc"])
 def engine(request, monkeypatch):
-    """Run a test once per scan engine (differential testing)."""
+    """Run a test once per scan engine (differential testing).  ``assoc`` is
+    the associative transition-composition cross-check (ops/assoc.py): exact
+    with no bounded-history assumption, so agreement with the halo-blocked
+    engines independently validates the halo decomposition."""
     monkeypatch.setenv("PYAHOCORASICK_TPU_ENGINE", request.param)
     return request.param
 

@@ -73,36 +73,59 @@ def test_window_set_mid_iteration(tiny_window):
     assert first == first2 and rest == rest2
 
 
+_MEM_SCRIPT = r"""
+import os, sys
+
+def rss_mb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024
+    return 0.0
+
+import pyahocorasick_tpu as ahocorasick
+
+A = ahocorasick.Automaton()
+A.add_word("aa", (0, "aa"))
+A.make_automaton()
+n = 1 << 22  # 4M chars -> ~4M matches (~64 MB at 16 B/match if eager)
+hay = "a" * n
+os.environ["PYAHOCORASICK_TPU_ITER_WINDOW"] = str(1 << 16)
+# warm the device-engine runtime (jax CPU client, jit caches): its
+# one-time footprint is not what this test bounds
+for _ in A.iter("a" * (1 << 17)):
+    pass
+base = rss_mb()
+it = A.iter(hay)
+for _ in range(10):
+    next(it)
+grown = rss_mb() - base
+# O(n) letter/class arrays (~20 MB at u32+i32) plus engine staging are
+# expected; the eager-match buffers we guard against would add ~64 MB
+# (4M matches x 16 B) on top of that baseline
+assert grown < 55, f"iter() grew RSS by {grown:.0f} MB"
+assert sum(1 for _ in it) == n - 1 - 10
+print("OK", grown)
+"""
+
+
 @pytest.mark.skipif(not sys.platform.startswith("linux"), reason="/proc only")
 def test_iter_memory_bounded():
     """Match-dense haystack: materializing all matches would need ~64 MB of
-    position/pid buffers; the windowed iterator must stay far below that."""
+    position/pid buffers; the windowed iterator must stay far below that.
+    Runs in a fresh subprocess: RSS deltas measured mid-suite are polluted
+    by allocator/jax arena reuse from earlier tests."""
+    import subprocess
 
-    def rss_mb():
-        with open("/proc/self/status") as f:
-            for line in f:
-                if line.startswith("VmRSS"):
-                    return int(line.split()[1]) / 1024
-        return 0.0
-
-    A = _build(["aa"])
-    n = 1 << 22  # 4M chars -> ~4M matches (~64 MB at 16 B/match if eager)
-    hay = "a" * n
-    os.environ["PYAHOCORASICK_TPU_ITER_WINDOW"] = str(1 << 16)
-    try:
-        # warm the device-engine runtime (jax CPU client, jit caches): its
-        # one-time footprint is not what this test bounds
-        for _ in A.iter("a" * (1 << 17)):
-            pass
-        base = rss_mb()
-        it = A.iter(hay)
-        for _ in range(10):
-            next(it)
-        grown = rss_mb() - base
-    finally:
-        os.environ.pop("PYAHOCORASICK_TPU_ITER_WINDOW", None)
-    # O(n) letter/class arrays (~20 MB at u32+i32) plus engine staging are
-    # expected; the eager-match buffers we guard against would add ~64 MB
-    # (4M matches x 16 B) on top of that baseline
-    assert grown < 55, f"iter() grew RSS by {grown:.0f} MB"
-    assert sum(1 for _ in it) == n - 1 - 10
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PYAHOCORASICK_TPU_ITER_WINDOW", None)
+    res = subprocess.run(
+        [sys.executable, "-c", _MEM_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr + res.stdout
+    assert res.stdout.startswith("OK")
