@@ -712,6 +712,89 @@ int64_t aho_scan_emit_sparse(const int32_t* cls_nodes, const int64_t* child_off,
     return written;
 }
 
+// Deep-episode patch for the hot/cold engine (ops/hotcold.py).  The hot scan
+// runs a depth-truncated projection automaton; each flagged group [p, p+span)
+// may contain transitions into depth > d ("cold" states the hot table cannot
+// represent).  Re-scan those episodes with the sparse full automaton,
+// emitting only matches longer than d (shorter ones are exact in the hot
+// scan), until the state depth returns to <= d.  Correctness: a match of
+// length l ending at q inside an episode entered at p satisfies
+// l <= depth(q) <= d+1 + (q-p), so it starts at >= p-d; scanning from
+// max(p-d, done+1) with a root start therefore finds exactly the deep
+// matches (projection argument in ops/hotcold.py).  Positions <= `done` are
+// fully accounted for, which both dedupes overlapping groups and keeps the
+// emitted stream position-sorted.
+int64_t aho_patch_deep(const int32_t* cls_nodes, const int64_t* child_off,
+                       const int32_t* fail, const int32_t* root_goto,
+                       const int32_t* depth, const int32_t* match_count,
+                       const int64_t* out_offsets, const int32_t* out_ids,
+                       const int32_t* wlen, const int32_t* cls, int64_t n,
+                       const int64_t* groups, int64_t n_groups, int32_t span,
+                       int32_t d, int32_t warm, int64_t base, int64_t* out_pos,
+                       int32_t* out_pid, int64_t cap) {
+    int64_t written = 0;
+    int64_t done = -1;  // every position <= done is fully accounted for
+    for (int64_t g = 0; g < n_groups; g++) {
+        int64_t p = groups[g];
+        int64_t q = p > done ? p : done + 1;
+        int64_t gend = p + span;
+        if (q >= gend || q >= n) continue;
+        int64_t a = q - warm;  // warm >= longest_word: exact for ANY
+        if (a < 0) a = 0;      // boundary state, deep or not
+        int32_t s = 0;
+        for (int64_t i = a; i < q; i++) {  // warmup: no emission
+            int32_t c = cls[i];
+            for (;;) {
+                if (s == 0) {
+                    s = root_goto[c];
+                    break;
+                }
+                int32_t t = sparse_goto(cls_nodes, child_off, s, c);
+                if (t >= 0) {
+                    s = t;
+                    break;
+                }
+                s = fail[s];
+            }
+        }
+        for (int64_t i = q; i < n; i++) {
+            int32_t c = cls[i];
+            for (;;) {
+                if (s == 0) {
+                    s = root_goto[c];
+                    break;
+                }
+                int32_t t = sparse_goto(cls_nodes, child_off, s, c);
+                if (t >= 0) {
+                    s = t;
+                    break;
+                }
+                s = fail[s];
+            }
+            done = i;
+            if (depth[s] > d) {
+                int32_t mc = match_count[s];
+                if (mc) {
+                    int64_t off = out_offsets[s];
+                    for (int32_t j = 0; j < mc; j++) {
+                        int32_t pid = out_ids[off + j];
+                        if (wlen[pid] > d) {
+                            if (out_pos && written < cap) {
+                                out_pos[written] = base + i;
+                                out_pid[written] = pid;
+                            }
+                            written++;
+                        }
+                    }
+                }
+            } else if (i >= gend - 1) {
+                break;  // past the group and back in the hot set
+            }
+        }
+    }
+    return written;
+}
+
 // CSR output lists in fail-chain order, from a precomputed out_link (the
 // fused aho_fail_links computes it in the same pass as fail itself).
 void aho_fill_out_ids_linked(const uint8_t* eow, const int32_t* out_link,

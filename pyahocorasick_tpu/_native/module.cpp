@@ -348,7 +348,7 @@ PyObject* m_build_tables(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
 // Helper: grab N buffers with given writability flags; returns false (with
 // everything released and an exception set) on failure.
 struct Buffers {
-    Py_buffer views[12];
+    Py_buffer views[16];
     int count = 0;
     ~Buffers() {
         for (int i = 0; i < count; i++) PyBuffer_Release(&views[i]);
@@ -472,6 +472,40 @@ PyObject* m_scan_emit_sparse(PyObject*, PyObject* const* args, Py_ssize_t nargs)
         (int32_t)s0, base, out_pos, out_pid, cap, &fin);
     Py_END_ALLOW_THREADS
     return Py_BuildValue("Li", (long long)n, (int)fin);
+}
+
+PyObject* m_patch_deep(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // cls_nodes(i32), child_off(i64), fail(i32), root_goto(i32), depth(i32),
+    // mc(i32), offs(i64), oids(i32), wlen(i32), cls(i32), groups(i64),
+    // span, d, warm, base, out_pos(w)|None, out_pid(w)|None, cap -> n
+    long span = PyLong_AsLong(args[11]);
+    long d = PyLong_AsLong(args[12]);
+    long warm = PyLong_AsLong(args[13]);
+    long long base = PyLong_AsLongLong(args[14]);
+    long long cap = PyLong_AsLongLong(args[17]);
+    if (PyErr_Occurred()) return NULL;
+    Buffers b;
+    for (int i = 0; i < 11; i++)
+        if (!b.grab(args[i], false)) return NULL;
+    int64_t* out_pos = NULL;
+    int32_t* out_pid = NULL;
+    if (args[15] != Py_None) {
+        if (!b.grab(args[15], true) || !b.grab(args[16], true)) return NULL;
+        out_pos = (int64_t*)b.buf(11);
+        out_pid = (int32_t*)b.buf(12);
+    }
+    int64_t n;
+    Py_BEGIN_ALLOW_THREADS
+    n = aho_patch_deep(
+        (const int32_t*)b.buf(0), (const int64_t*)b.buf(1),
+        (const int32_t*)b.buf(2), (const int32_t*)b.buf(3),
+        (const int32_t*)b.buf(4), (const int32_t*)b.buf(5),
+        (const int64_t*)b.buf(6), (const int32_t*)b.buf(7),
+        (const int32_t*)b.buf(8), (const int32_t*)b.buf(9), b.len(9) / 4,
+        (const int64_t*)b.buf(10), b.len(10) / 8, (int32_t)span, (int32_t)d,
+        (int32_t)warm, base, out_pos, out_pid, cap);
+    Py_END_ALLOW_THREADS
+    return PyLong_FromLongLong((long long)n);
 }
 
 PyObject* m_fill_out_ids(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
@@ -763,6 +797,7 @@ PyMethodDef methods[] = {
     {"fill_out_ids_linked", (PyCFunction)(void*)m_fill_out_ids_linked, METH_FASTCALL, ""},
     {"build_delta", (PyCFunction)(void*)m_build_delta, METH_FASTCALL, ""},
     {"scan_emit_sparse", (PyCFunction)(void*)m_scan_emit_sparse, METH_FASTCALL, ""},
+    {"patch_deep", (PyCFunction)(void*)m_patch_deep, METH_FASTCALL, ""},
     {"fill_out_ids", (PyCFunction)(void*)m_fill_out_ids, METH_FASTCALL, ""},
     {"scan_states", (PyCFunction)(void*)m_scan_states, METH_FASTCALL, ""},
     {"scan_emit", (PyCFunction)(void*)m_scan_emit, METH_FASTCALL, ""},

@@ -410,6 +410,32 @@ def resolve_states(compiled, cls: np.ndarray, positions: np.ndarray) -> np.ndarr
     return out
 
 
+def patch_deep(compiled, cls: np.ndarray, groups: np.ndarray, span: int,
+               d: int, base: int = 0):
+    """Deep-episode patch for the hot/cold engine (ops/hotcold.py): re-scan
+    the flagged groups with the sparse full automaton, emitting only matches
+    of length > d (the hot scan is exact for shorter ones).  Returns
+    (pos i64[], pid i32[]), position-sorted."""
+    ext = _load()
+    cls = np.ascontiguousarray(cls, dtype=np.int32)
+    groups = np.ascontiguousarray(groups, dtype=np.int64)
+    wlen = np.ascontiguousarray(compiled.word_len, dtype=np.int32)
+    depth = np.ascontiguousarray(compiled.depth, dtype=np.int32)
+    warm = max(int(compiled.longest_word), int(d))
+    head = (
+        compiled.edge_cls, compiled.child_off, compiled.fail,
+        compiled.root_goto, depth, compiled.match_count,
+        compiled.out_offsets, compiled.out_ids, wlen, cls, groups,
+        int(span), int(d), warm, int(base),
+    )
+    n = ext.patch_deep(*head, None, None, 0)
+    pos = np.empty(n, np.int64)
+    pid = np.empty(n, np.int32)
+    if n:
+        ext.patch_deep(*head, pos, pid, n)
+    return pos, pid
+
+
 def hist3(cls: np.ndarray, K: int, start: int = 0):
     """3-gram-code histogram (int64, K**3 bins) over positions >=
     max(start, 2), or None when the extension is unavailable.  Releases the
