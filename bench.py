@@ -13,7 +13,7 @@ vs_baseline compares against the reference pyahocorasick's committed number:
 (reference etc/benchmarks/results/python3-xeon-u.txt:8) = 3.584 MB/s.
 
 Individual modes remain selectable: BENCH_MODE in {cascade, cascade_hybrid,
-fused, small, dna, scan, counts, sparse, emit}.
+fused, small, dna, scan, scan_raw, scan_mid, counts, sparse, emit}.
 Env knobs: BENCH_PATTERNS, BENCH_CHARS, BENCH_REPS, BENCH_BLOCK,
 BENCH_DEVICE_DEADLINE, BENCH_MATRIX_BUDGET.
 """
@@ -177,13 +177,19 @@ def bench_small(n_chars, reps, rng):
 
 
 def bench_dna(n_patterns, n_chars, reps, rng):
-    """100k 20-mer guides over ACGT: stride-2 packed counts."""
+    """100k 20-mer guides over ACGT: hot/cold stride-4 scan (falls back to
+    the stride-2 packed counts when no hot/cold plan is feasible)."""
     from pyahocorasick_tpu.ops import stride
 
     import jax.numpy as jnp
 
     _, compiled, letters = _build("dna", n_patterns, rng)
     cls = _haystack(compiled, letters, n_chars, rng)
+
+    r = bench_hotcold(compiled, cls, n_chars, reps, label="dna")
+    if r is not None:
+        return r[0], r[1]
+
     s2 = stride.build_stride2(compiled)
     log(f"[dna] stride2 table: {'ok' if s2 else 'infeasible'}")
     cls2_tl, H2 = stride.prepare_stride2_input(compiled, cls)
@@ -224,6 +230,42 @@ def bench_scan_raw(compiled, cls, n_chars, reps):
     gbps = n_chars / best / 1e9
     log(f"[scan] cold {cold:.2f}s, best {best*1e3:.1f} ms -> {gbps:.3f} GB/s")
     return gbps, cold
+
+
+def bench_hotcold(compiled, cls, n_chars, reps, label="hotcold"):
+    """Exact scan via the hot/cold projection-automaton engine: short-match
+    positions counted on device, deep matches patched on host (overlapped
+    inside hotcold_scan).  Returns (GB/s, cold_s, build_s) or None."""
+    import jax.numpy as jnp
+
+    from pyahocorasick_tpu.ops import hotcold
+
+    t0 = time.time()
+    ht = hotcold.build_hotcold(compiled)
+    build_s = time.time() - t0
+    if ht is None:
+        log(f"[{label}] no feasible plan")
+        return None
+    log(
+        f"[{label}] plan d={ht.d} s={ht.s} S_hot={ht.S_hot} "
+        f"table={ht.table.nbytes/1e9:.2f}GB (built {build_s:.1f}s)"
+    )
+    codes_tl, warm, B = hotcold.prepare_hotcold_input(compiled, ht, cls)
+    staged = (jnp.asarray(codes_tl), warm, B)
+
+    def run():
+        return hotcold.hotcold_scan(compiled, cls, staged=staged)
+
+    first, cold, best = _time_best(run, reps)
+    if first is None:
+        return None
+    gbps = n_chars / best / 1e9
+    log(
+        f"[{label}] cold {cold:.2f}s, best {best*1e3:.1f} ms -> {gbps:.3f} "
+        f"GB/s, short_pos={first.short_positions_count} "
+        f"deep={first.deep_pos.size}"
+    )
+    return gbps, cold, build_s
 
 
 def bench_scan_mid(n_chars, reps, rng):
@@ -310,7 +352,20 @@ def run_matrix(n_patterns, n_chars, reps):
         except Exception as e:  # noqa: BLE001
             log(f"[dna] failed: {e!r}")
 
-    # 4. mid-size stride-2 scan
+    # 4. hot/cold exact scan at 100k patterns (short matches on device,
+    #    deep matches host-patched)
+    if left() > 120:
+        try:
+            r = bench_hotcold(compiled, cls, n_chars, reps)
+            if r:
+                out["scan_GBps"], out["scan_cold_s"] = round(r[0], 4), round(
+                    r[1], 2
+                )
+                out["scan_table_build_s"] = round(r[2], 1)
+        except Exception as e:  # noqa: BLE001
+            log(f"[hotcold] failed: {e!r}")
+
+    # 4b. mid-size stride-2 scan
     if left() > 90:
         try:
             r = bench_scan_mid(n_chars, reps, np.random.default_rng(45))
@@ -446,6 +501,25 @@ def _run_single_mode(mode, n_patterns, n_chars, reps, host_fallback):
 
     _, compiled, letters = _build("text", n_patterns, rng)
     cls = _haystack(compiled, letters, n_chars, rng)
+    if mode == "scan":
+        # exact hot/cold scan (VERDICT r2 item 2); scan_raw stays the
+        # stride-1 gather-wall reference
+        r = bench_hotcold(compiled, cls, n_chars, reps)
+        if r is None:
+            host_fallback("no hot/cold plan")
+        print(
+            json.dumps(
+                {
+                    "metric": "scan_GBps_100k_patterns_hotcold",
+                    "value": round(r[0], 4),
+                    "unit": "GB/s",
+                    "vs_baseline": round(r[0] * 1e9 / REF_BYTES_PER_SEC, 2),
+                    "cold_start_s": round(r[1], 2),
+                    "table_build_s": round(r[2], 1),
+                }
+            )
+        )
+        return
     if mode in ("cascade", "cascade_hybrid", "fused", "counts"):
         engine = "fused" if mode == "fused" else "cascade"
         r = bench_counts(compiled, cls, n_chars, reps, engine)
@@ -464,7 +538,7 @@ def _run_single_mode(mode, n_patterns, n_chars, reps, host_fallback):
             )
         )
         return
-    if mode == "scan":
+    if mode == "scan_raw":
         g, c = bench_scan_raw(compiled, cls, n_chars, reps)
         print(
             json.dumps(

@@ -228,12 +228,14 @@ def _make_flags_kernel(r1: int, tile: int, ov: int):
     """Stage-1 flag kernel body: ONE B1 fetch (AND-shifted against itself for
     the deep suf&sufb test) plus ONE W4 fetch; emits the per-tile stage-1
     mask.  All tensors stay in the (rows, 1) layout — Mosaic cannot shape-
-    cast across the sublane/lane split (measured, tools/probe_pallas.py)."""
+    cast across the sublane/lane split (measured, tools/probe_pallas.py).
+    The ``ov`` elements preceding the tile arrive as a separate block so the
+    one-position shift of the B1 hit stream stays tile-local."""
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(b1_ref, w4_ref, g4_ref, mask_ref):
-        g = g4_ref[:]  # (tile+ov, 1) int32
+    def kernel(b1_ref, w4_ref, g4_ref, ov_ref, mask_ref):
+        g = jnp.concatenate([ov_ref[:], g4_ref[:]], axis=0)  # (ov+tile, 1)
         u = g.astype(jnp.uint32)
         hit1 = _kernel_bloom(b1_ref[:], u, _M1, _WBITS_F32)
         prev1 = pltpu.roll(hit1, 1, axis=0)
@@ -244,17 +246,31 @@ def _make_flags_kernel(r1: int, tile: int, ov: int):
     return kernel
 
 
-def _flags_call(r1: int, tile: int, ov: int, interpret: bool):
+def _flags_call(r1: int, tile: int, ov: int, n_tiles: int, interpret: bool):
+    """One GRIDDED pallas_call over all tiles: a single compiled kernel with
+    a hardware-managed grid loop.  (The v1 wrapper mapped a per-tile kernel
+    with lax.map — a map-of-kernel pipeline whose remote compile exceeds 25
+    minutes at bench tile counts, see PLAN.md; the grid form compiles once.)"""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    kernel = _make_flags_kernel(r1, tile, ov)
     return pl.pallas_call(
-        _make_flags_kernel(r1, tile, ov),
-        out_shape=jax.ShapeDtypeStruct((tile, 1), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((r1, 128), lambda t: (0, 0)),
+            pl.BlockSpec((128, 128), lambda t: (0, 0)),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0)),
+            pl.BlockSpec((ov, 1), lambda t: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=interpret,
     )
 
@@ -282,14 +298,16 @@ def _bloom_bit2_xla(tab, codes_u32, mult: int, wbits: int):
 
 
 def _make_flags_fn(K: int, r1: int, n_tiles: int, interpret: bool):
-    """jit: int8 classes -> (stage1 mask (N,), g4 codes (N,)) via the Pallas
-    tile kernel mapped over overlapped tiles."""
+    """jit: int8 classes -> (stage1 mask (N,), g4 codes (N,)) via ONE
+    gridded Pallas call.  Each grid step reads its (tile, 1) block of the
+    code stream plus an (ov, 1) block of the ov codes that precede the tile
+    (precomputed by slicing the padded stream with a stride-tile reshape)."""
     import jax
     import jax.numpy as jnp
 
     T, OV = _TILE, _OVERLAP
     K2, K3 = K * K, K * K * K
-    call = _flags_call(r1, T, OV, interpret)
+    call = _flags_call(r1, T, OV, n_tiles, interpret)
 
     def fn(cls_i8, b1_tab, w4_tab):
         N = cls_i8.shape[0]  # == n_tiles * T
@@ -299,14 +317,11 @@ def _make_flags_fn(K: int, r1: int, n_tiles: int, interpret: bool):
         c3 = jnp.pad(cls, (3, 0))[:N]
         g4 = c3 * K3 + c2 * K2 + c1 * K + cls
         g4pad = jnp.pad(g4, (OV, 0))
-
-        def tile_fn(t):
-            sl = jax.lax.dynamic_slice(g4pad, (t * T,), (T + OV,))
-            return call(b1_tab, w4_tab, sl[:, None])[:, 0]
-
-        mask = jax.lax.map(
-            tile_fn, jnp.arange(n_tiles, dtype=jnp.int32)
-        ).reshape(N)
+        # ov codes preceding tile t = g4pad[t*T : t*T+OV]
+        ovmat = g4pad[:N].reshape(n_tiles, T)[:, :OV].reshape(n_tiles * OV)
+        mask = call(
+            b1_tab, w4_tab, g4[:, None], ovmat[:, None]
+        )[:, 0]
         return mask, g4
 
     return jax.jit(fn)

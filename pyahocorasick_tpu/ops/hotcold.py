@@ -65,7 +65,9 @@ _PATCH_NS = 12.0  # host patch cost per episode char (sparse C++ walk)
 
 
 def _env_bytes() -> int:
-    return int(os.environ.get("PYAHOCORASICK_TPU_HOTCOLD_BYTES", 1_600_000_000))
+    # v5e has 16 GB HBM; the table is the only large device buffer of this
+    # engine, so a 3.2 GB default leaves ample room for the haystack + ys
+    return int(os.environ.get("PYAHOCORASICK_TPU_HOTCOLD_BYTES", 3_200_000_000))
 
 
 def _env_rate() -> float:

@@ -10,7 +10,6 @@ None and the dispatcher must fall back to the classic exact engines).
 """
 
 import os
-import resource
 import string
 
 import numpy as np
@@ -37,21 +36,59 @@ def big_automaton():
     return A, words, letters
 
 
+_RSS_SCRIPT = r"""
+import resource, string
+import numpy as np
+import pyahocorasick_tpu as ahocorasick
+
+rng = np.random.default_rng(1)
+letters = np.frombuffer(string.ascii_letters.encode(), np.uint8)
+words = [
+    bytes(letters[rng.integers(0, 52, n)]).decode()
+    for n in rng.integers(3, 33, 1_000_000)
+]
+A = ahocorasick.Automaton()
+A.add_words(words, range(len(words)))
+A.make_automaton()
+rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+# sparse lowering only: ~110 bytes/state all-in would be 1.6 GB; the bound
+# leaves headroom for interpreter noise but catches a dense-table
+# materialization (delta alone would be 3.1 GB)
+assert rss_mb < 3000, rss_mb
+assert not A._compiled.has_delta
+print("OK", rss_mb)
+"""
+
+
 def test_build_fits_and_answers(big_automaton):
     A, words, letters = big_automaton
     c = A._compiled
     assert c.num_states > 10_000_000  # reference scale
-    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
-    # sparse lowering only: ~110 bytes/state all-in would be 1.6 GB; the
-    # bound leaves headroom for interpreter noise but catches a dense-table
-    # materialization (delta alone would be 3.1 GB)
-    assert rss_mb < 3000, rss_mb
     assert not c.has_delta  # the dense table must stay lazy at this scale
     # point queries
     for w in words[:50]:
         assert A.exists(w)
         assert A.match(w[:2])
     assert not A.exists("zz")  # length-2 words are never generated
+
+
+def test_build_rss_bounded():
+    """Peak-RSS bound in a fresh subprocess: ru_maxrss measured mid-suite is
+    the whole run's high-water mark, not this build's."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, "-c", _RSS_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr + res.stdout
+    assert res.stdout.startswith("OK")
 
 
 def test_scan_exact_and_cascade_gates(big_automaton):
