@@ -271,6 +271,27 @@ def count_matches(
             _jax_failed = True
         if engine == "cascade":
             engine = "auto"  # gated out: pick the classic path below
+    if engine == "hotcold" or (
+        engine == "auto"
+        and N >= _JAX_MIN
+        and not _jax_failed
+        and _device_backend()
+        and "hotcold" in compiled._cache  # auto never pays the table build
+        and compiled._cache["hotcold"] is not None
+    ):
+        # hot/cold projection-automaton counts (ops/hotcold.py): stride-s
+        # device scan + proj-state histogram + sparse deep patch.  Forcing
+        # the engine builds the table; auto only uses a prebuilt one.
+        try:
+            from .ops import hotcold as hotcold_ops
+
+            res = hotcold_ops.hotcold_count_matches(compiled, cls, halo)
+            if res is not None:
+                return res
+        except ImportError:
+            _jax_failed = True
+        if engine == "hotcold":
+            engine = "auto"
     if engine == "auto":
         engine = "jax" if (N >= _JAX_MIN and not _jax_failed) else "numpy"
     if engine == "jax":

@@ -111,20 +111,28 @@ class FusedTables:
     """Flag tables for the fused kernel (verification data comes from the
     shared CascadeTables of ops/cascade.py)."""
 
-    def __init__(self, ct: _c.CascadeTables, r1: int | None = None):
+    def __init__(
+        self, ct: _c.CascadeTables, r1: int | None = None, r4: int | None = None
+    ):
         self.ok = False
         if not (ct.ok and ct.has4):
             return
         r1 = r1 or int(os.environ.get("PYAHOCORASICK_TPU_B1_ROWS", 256))
         if r1 & (r1 - 1):
             r1 = 1 << (r1 - 1).bit_length()  # hashing needs pow2 word counts
+        # W4 is bf16 (0.17 ns/char per 128 rows, PLAN.md): rows are cheap, so
+        # default 256 keeps p_w4 well under the deep bloom's p^2 term
+        r4 = r4 or int(os.environ.get("PYAHOCORASICK_TPU_W4_ROWS", 256))
+        if r4 & (r4 - 1):
+            r4 = 1 << (r4 - 1).bit_length()
         deep_codes = np.union1d(ct.codes_suf, ct.codes_sufb)
         self.has5 = ct.has5
         self.has_w4 = ct.codes_w4.size > 0
         self.r1 = r1
+        self.r4 = r4
         # stage-1
         self.B1 = _bloom_build(deep_codes, _M1, r1, _WBITS_F32)
-        self.W4 = _bloom_build(ct.codes_w4, _M2, 128, _WBITS_BF16)
+        self.W4 = _bloom_build(ct.codes_w4, _M2, r4, _WBITS_BF16)
         # stage-2 (budget-sized application, so table count is cheap here)
         self.S2a = _bloom_build(ct.codes_suf, _M2, 128, _WBITS_F32)
         self.S2b = _bloom_build(ct.codes_suf, _M3, 128, _WBITS_F32)
@@ -139,7 +147,9 @@ class FusedTables:
             _bloom_pass_rate(self.W4, _M2, _WBITS_BF16) if self.has_w4 else 0.0
         )
         self.s1_est = p_b1 * p_b1 + p_w4
-        if self.s1_est > 0.035:
+        # compaction budgets are sized from s1_est (see _budgets), so the
+        # gate only needs to bound the budget-sized work, not protect caps
+        if self.s1_est > 0.045:
             return  # dictionary too dense for the fused caps: use cascade
         self.ok = True
 
@@ -246,7 +256,7 @@ def _make_flags_kernel(r1: int, tile: int, ov: int):
     return kernel
 
 
-def _flags_call(r1: int, tile: int, ov: int, n_tiles: int, interpret: bool):
+def _flags_call(r1: int, r4: int, tile: int, ov: int, n_tiles: int, interpret: bool):
     """One GRIDDED pallas_call over all tiles: a single compiled kernel with
     a hardware-managed grid loop.  (The v1 wrapper mapped a per-tile kernel
     with lax.map — a map-of-kernel pipeline whose remote compile exceeds 25
@@ -262,7 +272,7 @@ def _flags_call(r1: int, tile: int, ov: int, n_tiles: int, interpret: bool):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((r1, 128), lambda t: (0, 0)),
-            pl.BlockSpec((128, 128), lambda t: (0, 0)),
+            pl.BlockSpec((r4, 128), lambda t: (0, 0)),
             pl.BlockSpec((tile, 1), lambda t: (t, 0)),
             pl.BlockSpec((ov, 1), lambda t: (t, 0)),
         ],
@@ -297,7 +307,7 @@ def _bloom_bit2_xla(tab, codes_u32, mult: int, wbits: int):
     return hit & 1
 
 
-def _make_flags_fn(K: int, r1: int, n_tiles: int, interpret: bool):
+def _make_flags_fn(K: int, r1: int, r4: int, n_tiles: int, interpret: bool):
     """jit: int8 classes -> (stage1 mask (N,), g4 codes (N,)) via ONE
     gridded Pallas call.  Each grid step reads its (tile, 1) block of the
     code stream plus an (ov, 1) block of the ov codes that precede the tile
@@ -307,7 +317,7 @@ def _make_flags_fn(K: int, r1: int, n_tiles: int, interpret: bool):
 
     T, OV = _TILE, _OVERLAP
     K2, K3 = K * K, K * K * K
-    call = _flags_call(r1, T, OV, n_tiles, interpret)
+    call = _flags_call(r1, r4, T, OV, n_tiles, interpret)
 
     def fn(cls_i8, b1_tab, w4_tab):
         N = cls_i8.shape[0]  # == n_tiles * T
@@ -503,7 +513,7 @@ def count_matches_fused(
     bbud, sbud, cbud = _budgets(Npad, max(ft.s1_est, 1e-4))
 
     interp = _use_interpret()
-    fkey = (compiled.num_classes, ft.r1, n_tiles, interp)
+    fkey = (compiled.num_classes, ft.r1, ft.r4, n_tiles, interp)
     if fkey not in _FLAGS_CACHE:
         from ..utils.compile_cache import ensure_compile_cache
 

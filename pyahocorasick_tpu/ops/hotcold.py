@@ -119,14 +119,16 @@ def plan_hotcold(
 
 
 class HotColdTables:
-    def __init__(self, d: int, s: int, K: int, table: np.ndarray):
+    def __init__(self, d: int, s: int, K: int, table: np.ndarray, hot1):
         self.d = d
         self.s = s
         self.K = K
         self.Ks = K**s
         self.table = table  # [S_hot, K^s] int32 packed
+        self.hot1 = hot1  # [S_hot, K] int32 stride-1 states (count path)
         self.S_hot = table.shape[0]
         self._dev = None
+        self._dev1 = None
 
     def device_table(self):
         import jax.numpy as jnp
@@ -134,6 +136,13 @@ class HotColdTables:
         if self._dev is None:
             self._dev = jnp.asarray(self.table.reshape(-1))
         return self._dev
+
+    def device_hot1(self):
+        import jax.numpy as jnp
+
+        if self._dev1 is None:
+            self._dev1 = jnp.asarray(self.hot1.reshape(-1))
+        return self._dev1
 
 
 def _hot1(compiled: CompiledAutomaton, d: int):
@@ -217,7 +226,7 @@ def build_hotcold(
         | (am_s.astype(np.int32) << _SB)
         | (dp_s.astype(np.int32) << (_SB + s))
     )
-    ht = HotColdTables(d, s, compiled.num_classes, packed)
+    ht = HotColdTables(d, s, compiled.num_classes, packed, st)
     if plan is None:
         cache["hotcold"] = ht
     return ht
@@ -301,18 +310,16 @@ def _get_fns():
             cnt = am & 1
             for j in range(1, s):
                 cnt = cnt + ((am >> j) & 1)
-            return (st2, nm + cnt), (e >> (_SB + s)) & amask
+            return (st2, nm + cnt), e  # full packed entries as ys
 
-        (fin, nm), deep = jax.lax.scan(
+        (fin, nm), plane = jax.lax.scan(
             step, (init, jnp.zeros_like(init)), pc
         )
-        return fin, nm, deep  # deep: [steps, L] s-bit masks
+        return fin, nm, plane  # plane: [steps, L] packed entries
 
-    @functools.partial(jax.jit, static_argnames=("bud1", "bud2"))
-    def compact_deep(deep, bud1, bud2):
-        """Two-level compaction of nonzero entries of the deep plane;
-        returns (flat_indices [bud2] (-1 pad), totals [2])."""
-        flat = deep.reshape(-1)
+    def _compact2(flat, bud1, bud2):
+        """Two-level compaction of nonzero int32 entries; returns
+        (flat_indices [bud2] (-1 pad), totals [2])."""
         n = flat.shape[0]
         pad = (-n) % 32
         f = jnp.pad(flat, (0, pad))
@@ -325,7 +332,7 @@ def _get_fns():
             + jnp.arange(32, dtype=jnp.int32)[None, :]
         )  # [bud1, 32] indices into f
         sub = (
-            jnp.take(f, idx.reshape(-1), mode="clip").reshape(bud1, 32)
+            jnp.take(f, idx.reshape(-1), mode="clip").reshape(-1, 32)
             * valid[:, None]
         )
         sflags = (sub.reshape(-1) > 0).astype(jnp.int32)
@@ -334,11 +341,68 @@ def _get_fns():
         gidx = jnp.take(idx.reshape(-1), jnp.maximum(b2, 0), mode="clip")
         return jnp.where(v2, gidx, -1), jnp.stack([t1, t2])
 
-    return warmup, body, compact_deep
+    @functools.partial(jax.jit, static_argnames=("s", "bud1", "bud2"))
+    def compact_deep(plane, s, bud1, bud2):
+        """Compaction of deep-flagged entries of the packed plane."""
+        amask = (1 << s) - 1
+        return _compact2(
+            (plane.reshape(-1) >> (_SB + s)) & amask, bud1, bud2
+        )
+
+    @functools.partial(
+        jax.jit, static_argnames=("K", "s", "S_hot", "bud1", "bud2")
+    )
+    def count_hist(plane, pc, init, hot1_flat, K, s, S_hot, bud1, bud2):
+        """Histogram over proj-states at short-matched positions.
+
+        Matched GROUPS are budget-compacted; each walks its s chars with the
+        stride-1 hot table from the previous entry's state (all budget-sized
+        work), scatter-adding every flagged offset's state.  The host folds
+        the histogram through the hot states' CSR output lists — per-pattern
+        counts of all matches with length <= d, no per-position fetch."""
+        amask = (1 << s) - 1
+        flat = plane.reshape(-1)
+        am = (flat >> _SB) & amask
+        idx, totals = _compact2(am, bud1, bud2)
+        v = idx >= 0
+        iv = jnp.maximum(idx, 0)
+        L = plane.shape[1]
+        prev = iv - L
+        sprev = jnp.where(
+            prev >= 0,
+            jnp.take(flat, jnp.maximum(prev, 0), mode="clip") & _SMASK,
+            jnp.take(init, iv % L, mode="clip"),
+        )
+        pcv = jnp.take(pc.reshape(-1), iv, mode="clip").astype(jnp.int32)
+        fl = jnp.take(am, iv, mode="clip") * v
+        st = sprev
+        hist = jnp.zeros((S_hot,), jnp.int32)
+        for j in range(s):
+            c = (pcv // (K ** (s - 1 - j))) % K
+            st = hot1_flat[st * K + c]
+            hist = hist.at[st].add(((fl >> j) & 1))
+        return hist, totals
+
+    return warmup, body, compact_deep, count_hist
 
 
 def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def _deep_budgets(compiled, ht, nplane: int):
+    """Compaction budgets for the deep plane, from the planning rate
+    estimate (x4 safety, pow2 so the compiled shape set stays bounded)."""
+    ls = np.asarray(compiled.level_starts)
+    n_next = int(ls[ht.d + 2] - ls[ht.d + 1]) if ht.d + 2 < len(ls) else 0
+    rate = n_next / float(ht.K ** min(ht.d + 1, 30)) if n_next else 0.0
+    r_group = min(1.0, rate * ht.s)
+    bud1 = min(
+        _pow2(nplane // 32),
+        max(1 << 12, _pow2(nplane / 32 * min(1.0, r_group * 32) * 4)),
+    )
+    bud2 = min(_pow2(nplane), max(1 << 12, _pow2(nplane * r_group * 4)))
+    return bud1, bud2
 
 
 # ---------------------------------------------------------------------------
@@ -447,31 +511,32 @@ def hotcold_scan(
         codes_tl, warm, B = prepare_hotcold_input(compiled, ht, cls, halo, block)
         pc_dev = jnp.asarray(codes_tl)
 
-    warmup, body, compact_deep = _get_fns()
+    warmup, body, compact_deep, _ = _get_fns()
     tab = ht.device_table()
     init = warmup(tab, pc_dev[:warm], ht.Ks)
-    fin, nm, deep = body(tab, pc_dev[warm:], init, ht.Ks, ht.s)
+    fin, nm, plane = body(tab, pc_dev[warm:], init, ht.Ks, ht.s)
 
     steps = int(pc_dev.shape[0]) - warm
     L = int(pc_dev.shape[1])
-    plane = steps * L
+    nplane = steps * L
     # budgets from the planning rate estimate (x4 safety, pow2, floors)
-    ls = np.asarray(compiled.level_starts)
-    n_next = (
-        int(ls[ht.d + 2] - ls[ht.d + 1]) if ht.d + 2 < len(ls) else 0
-    )
-    rate = n_next / float(ht.K ** min(ht.d + 1, 30)) if n_next else 0.0
-    r_group = min(1.0, rate * ht.s)
-    bud1 = min(_pow2(plane // 32), max(1 << 12, _pow2(plane / 32 * min(1.0, r_group * 32) * 4)))
-    bud2 = min(_pow2(plane), max(1 << 12, _pow2(plane * r_group * 4)))
-    gidx, totals = compact_deep(deep, bud1, bud2)
+    bud1, bud2 = _deep_budgets(compiled, ht, nplane)
+    gidx, totals = compact_deep(plane, ht.s, bud1, bud2)
 
     nm_host = np.asarray(nm).astype(np.int64)
     totals = np.asarray(totals)
     if totals[0] > bud1 or totals[1] > bud2:
         return None  # unexpectedly dense deep plane: fall back to exact path
 
-    gidx = np.asarray(gidx)
+    deep_pos, deep_pid = _deep_matches(
+        compiled, ht, np.asarray(gidx), L, B, N, cls, halo
+    )
+    return HotColdResult(int(nm_host.sum()), deep_pos, deep_pid, ht.d, ht.s)
+
+
+def _deep_matches(compiled, ht, gidx, L, B, N, cls, halo):
+    """Host side of the deep path: compacted flat plane indices -> patched
+    (pos, pid) arrays for every match of length > d."""
     gidx = gidx[gidx >= 0]
     # flat index -> global char position of the group start
     t_idx = gidx // L
@@ -488,10 +553,89 @@ def hotcold_scan(
         h = np.ascontiguousarray(halo[-H:], np.int32)
         hs = int(h.size)
         ext = np.concatenate([h, np.ascontiguousarray(cls, np.int32)])
-        groups = np.concatenate(
-            [np.asarray([hs], np.int64), pos + hs]
-        )
-        deep_pos, deep_pid = _patch(compiled, ext, groups, ht.s, ht.d, -hs)
+        groups = np.concatenate([np.asarray([hs], np.int64), pos + hs])
+        return _patch(compiled, ext, groups, ht.s, ht.d, -hs)
+    return _patch(compiled, cls, pos, ht.s, ht.d, 0)
+
+
+def _hot_csr(compiled, ht):
+    """Cached (rows, ids) of the hot states' CSR output lists: counts[pid]
+    folds as counts[ids] += hist[rows]."""
+    cache = compiled._cache
+    key = ("hotcold_csr", ht.d)
+    if key not in cache:
+        mc = compiled.match_count[: ht.S_hot].astype(np.int64)
+        end = int(compiled.out_offsets[ht.S_hot])
+        rows = np.repeat(np.arange(ht.S_hot, dtype=np.int64), mc)
+        cache[key] = (rows, compiled.out_ids[:end])
+    return cache[key]
+
+
+def hotcold_count_matches(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: np.ndarray | None = None,
+    staged=None,
+    block: int | None = None,
+):
+    """Exact per-pattern int64 counts via the hot/cold engine, or None when
+    gated.  Device work: the stride-s scan plus budget-sized compactions and
+    a proj-state histogram (no per-position fetch — only the [S_hot]
+    histogram and sparse deep groups come back to the host)."""
+    ht = build_hotcold(compiled)
+    if ht is None:
+        return None
+    import jax.numpy as jnp
+
+    N = int(cls.size)
+    P = compiled.num_patterns
+    if N == 0:
+        return np.zeros(P, np.int64)
+
+    if staged is not None:
+        pc_dev, warm, B = staged
     else:
-        deep_pos, deep_pid = _patch(compiled, cls, pos, ht.s, ht.d, 0)
-    return HotColdResult(int(nm_host.sum()), deep_pos, deep_pid, ht.d, ht.s)
+        codes_tl, warm, B = prepare_hotcold_input(compiled, ht, cls, halo, block)
+        pc_dev = jnp.asarray(codes_tl)
+
+    warmup, body, compact_deep, count_hist = _get_fns()
+    tab = ht.device_table()
+    init = warmup(tab, pc_dev[:warm], ht.Ks)
+    fin, nm, plane = body(tab, pc_dev[warm:], init, ht.Ks, ht.s)
+
+    steps = int(pc_dev.shape[0]) - warm
+    L = int(pc_dev.shape[1])
+    nplane = steps * L
+
+    # short-match histogram: budgets sized from the measured match count
+    nm_host = np.asarray(nm).astype(np.int64)
+    total_short = int(nm_host.sum())
+    bud2m = min(_pow2(nplane), max(1 << 12, _pow2(total_short * 2)))
+    bud1m = min(
+        _pow2(-(-nplane // 32)),
+        max(1 << 12, _pow2(min(nplane / 32, total_short) * 2)),
+    )
+    hist, totals_m = count_hist(
+        plane, pc_dev[warm:], init, ht.device_hot1(),
+        ht.K, ht.s, ht.S_hot, bud1m, bud2m,
+    )
+    totals_m = np.asarray(totals_m)
+    if totals_m[0] > bud1m or totals_m[1] > bud2m:
+        return None
+
+    counts = np.zeros(P, np.int64)
+    rows, ids = _hot_csr(compiled, ht)
+    np.add.at(counts, ids, np.asarray(hist).astype(np.int64)[rows])
+
+    # deep matches via the compaction + host patch
+    bud1, bud2 = _deep_budgets(compiled, ht, nplane)
+    gidx, totals = compact_deep(plane, ht.s, bud1, bud2)
+    totals = np.asarray(totals)
+    if totals[0] > bud1 or totals[1] > bud2:
+        return None
+    _, deep_pid = _deep_matches(
+        compiled, ht, np.asarray(gidx), L, B, N, cls, halo
+    )
+    if deep_pid.size:
+        counts += np.bincount(deep_pid, minlength=P).astype(np.int64)
+    return counts

@@ -155,6 +155,54 @@ def test_auto_plan_scan_end_to_end():
     np.testing.assert_array_equal(res.deep_pid, want_dpid)
 
 
+def _count_oracle(compiled, cls, halo=None):
+    states = cpu.scan_states_blocked(compiled, cls, halo)
+    _, pids = cpu.emit_matches(compiled, states)
+    return np.bincount(pids, minlength=compiled.num_patterns).astype(np.int64)
+
+
+@pytest.mark.parametrize("d,s", [(2, 2), (3, 2), (3, 4)])
+def test_count_matches_exact(d, s):
+    rng = np.random.default_rng(17)
+    words = [
+        "".join(rng.choice(list("abcd"), rng.integers(1, 12)))
+        for _ in range(80)
+    ]
+    A = _build(words)
+    c = A._compiled
+    ht = hotcold.build_hotcold(c, plan=(d, s))
+    c._cache["hotcold"] = ht
+    cls = _cls(c, "".join(rng.choice(list("abcd_"), 5000)))
+    got = hotcold.hotcold_count_matches(c, cls)
+    assert got is not None
+    np.testing.assert_array_equal(got, _count_oracle(c, cls))
+
+
+def test_count_matches_with_halo():
+    words = ["abcdefgh", "bc", "cdef"]
+    A = _build(words)
+    c = A._compiled
+    ht = hotcold.build_hotcold(c, plan=(3, 2))
+    c._cache["hotcold"] = ht
+    halo = _cls(c, "xxabcde")
+    cls = _cls(c, "fghabcbcdefx" * 4)
+    got = hotcold.hotcold_count_matches(c, cls, halo=halo)
+    assert got is not None
+    np.testing.assert_array_equal(got, _count_oracle(c, cls, halo))
+
+
+def test_count_matches_dense_input():
+    """Every position matches: budgets grow but results stay exact."""
+    A = _build(["aa", "aaa", "a" * 9])
+    c = A._compiled
+    ht = hotcold.build_hotcold(c, plan=(3, 2))
+    c._cache["hotcold"] = ht
+    cls = _cls(c, "a" * 4000)
+    got = hotcold.hotcold_count_matches(c, cls)
+    assert got is not None
+    np.testing.assert_array_equal(got, _count_oracle(c, cls))
+
+
 def test_empty_input():
     A = _build(["abc"])
     res = hotcold.hotcold_scan(A._compiled, np.empty(0, np.int32))
