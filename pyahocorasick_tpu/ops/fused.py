@@ -42,10 +42,14 @@ _M1, _M2, _M3 = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE35
 _WBITS_F32 = 24  # f32 round-trips ints to 2^24: 24 usable bloom bits/word
 _WBITS_BF16 = 8  # bf16 mantissa: 8 exact bits/word
 
-# tile length of the kernel (positions per pallas_call); OVERLAP extra
-# leading rows make the one-position-shifted stream local to the tile
+# tile length of the kernel (positions per grid step); OVERLAP extra leading
+# lanes make the one-position-shifted stream local to the tile.  Positions
+# ride the LANE axis: a (N, 1) column stream is laid out by XLA as (8, 128)
+# tiles with one useful column — 128x HBM padding (measured: 8 GB for a 64 MB
+# stream) — so every stream here is (1, n) row-major and every table operand
+# is pre-transposed to (128, rows).
 _TILE = 2048
-_OVERLAP = 8
+_OVERLAP = 128
 
 
 # Hashing is POWER-OF-2 ONLY: integer modulo by non-pow2 constants lowers
@@ -161,6 +165,11 @@ class FusedTables:
                 k: jnp.asarray(getattr(self, k))
                 for k in ("B1", "W4", "S2a", "S2b", "S2c", "S2d", "W4b")
             }
+            # lane-major kernel operands: tables pre-transposed on host
+            self._dev["B1T"] = jnp.asarray(np.ascontiguousarray(self.B1.T))
+            self._dev["W4T"] = jnp.asarray(
+                np.ascontiguousarray(np.asarray(self.W4).T)
+            )
         return self._dev
 
 
@@ -201,33 +210,35 @@ def _hash_parts_dev(u, mult: int, nwords: int, wbits: int):
     return w, (b1, b2)
 
 
-def _kernel_bloom(tab_ref_val, u, mult: int, wbits: int):
-    """In-kernel k-in-word bloom test: (n,1) uint32 codes -> (n,1) int32
-    0/1.  The fetch is the bilinear-MXU trick: onehot(word>>7) @ table, then
-    a lane-select; f32 tables run at Precision.HIGHEST so 24-bit words are
-    exact (bf16 tables are exact to 2^8 at native precision — HIGHEST on a
-    bf16 lhs is rejected by Mosaic, measured)."""
+def _kernel_bloom(tabT_val, u_row, mult: int, wbits: int):
+    """In-kernel k-in-word bloom test: (1, n) uint32 codes -> (1, n) int32
+    0/1.  Lane-major bilinear-MXU fetch: the word-row onehot lives on the
+    SUBLANE axis ((rows, n)), the pre-transposed table (128, rows) contracts
+    it on the MXU to (128, n), and the in-row word select reduces sublanes.
+    f32 tables run at Precision.HIGHEST so 24-bit words are exact (bf16
+    tables are exact to 2^8 at native precision — HIGHEST on a bf16 lhs is
+    rejected by Mosaic, measured)."""
     import jax
     import jax.numpy as jnp
 
-    rows = tab_ref_val.shape[0]
-    n = u.shape[0]
-    w, bits = _hash_parts_dev(u, mult, rows * 128, wbits)
+    rows = tabT_val.shape[1]
+    n = u_row.shape[1]
+    w, bits = _hash_parts_dev(u_row, mult, rows * 128, wbits)  # (1, n) each
     a = w >> 7
     c = w & 127
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (n, rows), 1)
-    oh = (a == iota_r).astype(tab_ref_val.dtype)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0)
+    oh = (a == iota_r).astype(tabT_val.dtype)  # (rows, n)
     r = jax.lax.dot_general(
-        oh, tab_ref_val, (((1,), (0,)), ((), ())),
+        tabT_val, oh, (((1,), (0,)), ((), ())),
         precision=(
             jax.lax.Precision.HIGHEST if wbits == _WBITS_F32 else None
         ),
         preferred_element_type=jnp.float32,
-    )
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+    )  # (128, n)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
     word = (
-        jnp.where(c == iota_c, r, 0.0).sum(axis=1, keepdims=True)
-    ).astype(jnp.int32)
+        jnp.where(c == iota_c, r, 0.0).sum(axis=0, keepdims=True)
+    ).astype(jnp.int32)  # (1, n)
     hit = (word >> bits[0])
     for b in bits[1:]:
         hit = hit & (word >> b)
@@ -244,14 +255,14 @@ def _make_flags_kernel(r1: int, tile: int, ov: int):
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(b1_ref, w4_ref, g4_ref, ov_ref, mask_ref):
-        g = jnp.concatenate([ov_ref[:], g4_ref[:]], axis=0)  # (ov+tile, 1)
+    def kernel(b1T_ref, w4T_ref, g4_ref, ov_ref, mask_ref):
+        g = jnp.concatenate([ov_ref[:], g4_ref[:]], axis=1)  # (1, ov+tile)
         u = g.astype(jnp.uint32)
-        hit1 = _kernel_bloom(b1_ref[:], u, _M1, _WBITS_F32)
-        prev1 = pltpu.roll(hit1, 1, axis=0)
+        hit1 = _kernel_bloom(b1T_ref[:], u, _M1, _WBITS_F32)
+        prev1 = pltpu.roll(hit1, 1, axis=1)
         deep1 = hit1 & prev1
-        w41 = _kernel_bloom(w4_ref[:], u, _M2, _WBITS_BF16)
-        mask_ref[:] = (deep1 | (w41 << 1))[ov:]
+        w41 = _kernel_bloom(w4T_ref[:], u, _M2, _WBITS_BF16)
+        mask_ref[:] = (deep1 | (w41 << 1))[:, ov:]
 
     return kernel
 
@@ -271,13 +282,13 @@ def _flags_call(r1: int, r4: int, tile: int, ov: int, n_tiles: int, interpret: b
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((r1, 128), lambda t: (0, 0)),
-            pl.BlockSpec((r4, 128), lambda t: (0, 0)),
-            pl.BlockSpec((tile, 1), lambda t: (t, 0)),
-            pl.BlockSpec((ov, 1), lambda t: (t, 0)),
+            pl.BlockSpec((128, r1), lambda t: (0, 0)),
+            pl.BlockSpec((128, r4), lambda t: (0, 0)),
+            pl.BlockSpec((1, tile), lambda t: (t, 0)),
+            pl.BlockSpec((1, ov), lambda t: (t, 0)),
         ],
-        out_specs=pl.BlockSpec((tile, 1), lambda t: (t, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.int32),
+        out_specs=pl.BlockSpec((1, tile), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
@@ -319,7 +330,7 @@ def _make_flags_fn(K: int, r1: int, r4: int, n_tiles: int, interpret: bool):
     K2, K3 = K * K, K * K * K
     call = _flags_call(r1, r4, T, OV, n_tiles, interpret)
 
-    def fn(cls_i8, b1_tab, w4_tab):
+    def fn(cls_i8, b1T_tab, w4T_tab):
         N = cls_i8.shape[0]  # == n_tiles * T
         cls = cls_i8.astype(jnp.int32)
         c1 = jnp.pad(cls, (1, 0))[:N]
@@ -328,10 +339,10 @@ def _make_flags_fn(K: int, r1: int, r4: int, n_tiles: int, interpret: bool):
         g4 = c3 * K3 + c2 * K2 + c1 * K + cls
         g4pad = jnp.pad(g4, (OV, 0))
         # ov codes preceding tile t = g4pad[t*T : t*T+OV]
-        ovmat = g4pad[:N].reshape(n_tiles, T)[:, :OV].reshape(n_tiles * OV)
+        ovmat = g4pad[:N].reshape(n_tiles, T)[:, :OV]
         mask = call(
-            b1_tab, w4_tab, g4[:, None], ovmat[:, None]
-        )[:, 0]
+            b1T_tab, w4T_tab, g4.reshape(n_tiles, T), ovmat
+        ).reshape(N)
         return mask, g4
 
     return jax.jit(fn)
@@ -551,7 +562,7 @@ def count_matches_fused(
         host_thread = threading.Thread(target=_host_hist)
         host_thread.start()
 
-    mask, g4 = _FLAGS_CACHE[fkey](cls_dev, ftd["B1"], ftd["W4"])
+    mask, g4 = _FLAGS_CACHE[fkey](cls_dev, ftd["B1T"], ftd["W4T"])
     counts, deep_pos, deep_id, totals = _POST_CACHE[pkey](
         mask, g4, np.int32(vstart), np.int32(N), dev, ftd
     )
