@@ -109,9 +109,32 @@ def _time_best(fn, reps):
 
 
 def bench_counts(compiled, cls, n_chars, reps, engine):
-    """Exact per-pattern counts via the cascade or fused engine; returns
-    (GB/s, cold_s) or None when gated."""
+    """Exact per-pattern counts via the cascade, fused, or hotcold engine;
+    returns (GB/s, cold_s) or None when gated."""
     import jax.numpy as jnp
+
+    if engine == "hotcold":
+        from pyahocorasick_tpu.ops import hotcold
+
+        ht = hotcold.build_hotcold(compiled)
+        if ht is None:
+            return None
+        codes_tl, warm, B = hotcold.prepare_hotcold_input(compiled, ht, cls)
+        hc_staged = (jnp.asarray(codes_tl), warm, B)
+
+        def run():
+            return hotcold.hotcold_count_matches(
+                compiled, cls, staged=hc_staged
+            )
+
+        first, cold, best = _time_best(run, reps)
+        if first is None:
+            return None
+        log(
+            f"[hotcold-counts] cold {cold:.2f}s, best {best*1e3:.1f} ms -> "
+            f"{n_chars/best/1e9:.3f} GB/s, total {int(first.sum())}"
+        )
+        return n_chars / best / 1e9, cold
 
     staged = jnp.asarray(np.ascontiguousarray(cls.astype(np.int8)))
     if engine == "fused":
@@ -319,8 +342,8 @@ def run_matrix(n_patterns, n_chars, reps):
     out["prewarm_wait_s"] = round(time.time() - t0, 2)
     log(f"[prewarm] blocking wait after haystack prep: {out['prewarm_wait_s']}s")
 
-    # 1. headline: exact counts at 100k patterns — fused then cascade
-    for engine in ("fused", "cascade"):
+    # 1. headline: exact counts at 100k patterns — fused, cascade, hotcold
+    for engine in ("fused", "cascade", "hotcold"):
         if left() < 60:
             break
         try:
@@ -329,7 +352,7 @@ def run_matrix(n_patterns, n_chars, reps):
             log(f"[{engine}] failed: {e!r}")
             r = None
         if r is not None:
-            key = "fused" if engine == "fused" else "cascade"
+            key = engine
             out[f"{key}_GBps"], out[f"{key}_cold_s"] = round(r[0], 4), round(
                 r[1], 2
             )
@@ -390,12 +413,14 @@ def run_matrix(n_patterns, n_chars, reps):
     candidates = [
         (out.get("fused_GBps"), "fused"),
         (out.get("cascade_GBps"), "cascade_hybrid"),
+        (out.get("hotcold_GBps"), "hotcold"),
     ]
     candidates = [c for c in candidates if c[0]]
     if not candidates:
         return None
     value, engine = max(candidates)
-    cold = out.get(f"{'fused' if engine == 'fused' else 'cascade'}_cold_s")
+    cold_key = {"cascade_hybrid": "cascade"}.get(engine, engine)
+    cold = out.get(f"{cold_key}_cold_s")
     rec = {
         "metric": "scan_GBps_100k_patterns",
         "value": value,
@@ -520,8 +545,8 @@ def _run_single_mode(mode, n_patterns, n_chars, reps, host_fallback):
             )
         )
         return
-    if mode in ("cascade", "cascade_hybrid", "fused", "counts"):
-        engine = "fused" if mode == "fused" else "cascade"
+    if mode in ("cascade", "cascade_hybrid", "fused", "counts", "hotcold"):
+        engine = mode if mode in ("fused", "hotcold") else "cascade"
         r = bench_counts(compiled, cls, n_chars, reps, engine)
         if r is None:
             host_fallback(f"{engine} gated")

@@ -795,6 +795,73 @@ int64_t aho_patch_deep(const int32_t* cls_nodes, const int64_t* child_off,
     return written;
 }
 
+// Hot/cold stride-table composition (ops/hotcold.py): O = B после A —
+// O[s, i*Kb + j] = B[A_state[s,i], j], flag bitmasks concatenated (B's bits
+// shifted up by spanA).  One parallel streaming pass instead of numpy's
+// multiple giant fancy-index temporaries (the tables reach ~2 GB).
+void aho_hotcold_compose(const int32_t* stA, const uint8_t* amA,
+                         const uint8_t* dpA, int64_t Ka, const int32_t* stB,
+                         const uint8_t* amB, const uint8_t* dpB, int64_t Kb,
+                         int64_t S, int32_t spanA, int32_t* stO, uint8_t* amO,
+                         uint8_t* dpO, int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    auto run = [&](int64_t lo, int64_t hi) {
+        for (int64_t s = lo; s < hi; s++) {
+            const int32_t* ra = stA + s * Ka;
+            const uint8_t* aa = amA + s * Ka;
+            const uint8_t* da = dpA + s * Ka;
+            int32_t* ro = stO + s * Ka * Kb;
+            uint8_t* ao = amO + s * Ka * Kb;
+            uint8_t* dpo = dpO + s * Ka * Kb;
+            for (int64_t i = 0; i < Ka; i++) {
+                int64_t mid = ra[i];
+                const int32_t* rb = stB + mid * Kb;
+                const uint8_t* ab = amB + mid * Kb;
+                const uint8_t* db = dpB + mid * Kb;
+                uint8_t a0 = aa[i], d0 = da[i];
+                int32_t* o = ro + i * Kb;
+                uint8_t* ao2 = ao + i * Kb;
+                uint8_t* do2 = dpo + i * Kb;
+                for (int64_t j = 0; j < Kb; j++) {
+                    o[j] = rb[j];
+                    ao2[j] = (uint8_t)(a0 | (ab[j] << spanA));
+                    do2[j] = (uint8_t)(d0 | (db[j] << spanA));
+                }
+            }
+        }
+    };
+    if (nthreads == 1 || S < 256) {
+        run(0, S);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t per = (S + nthreads - 1) / nthreads;
+        for (int t = 0; t < nthreads; t++)
+            ts.emplace_back(run, t * per, std::min(S, (t + 1) * per));
+        for (auto& th : ts) th.join();
+    }
+}
+
+// Pack composed hot/cold entries: state | am << 20 | deep << (20 + span).
+void aho_hotcold_pack(const int32_t* st, const uint8_t* am, const uint8_t* dp,
+                      int64_t n, int32_t span, int32_t* out,
+                      int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    auto run = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++)
+            out[i] = st[i] | ((int32_t)am[i] << 20) |
+                     ((int32_t)dp[i] << (20 + span));
+    };
+    if (nthreads == 1 || n < (1 << 20)) {
+        run(0, n);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t per = (n + nthreads - 1) / nthreads;
+        for (int t = 0; t < nthreads; t++)
+            ts.emplace_back(run, t * per, std::min(n, (t + 1) * per));
+        for (auto& th : ts) th.join();
+    }
+}
+
 // CSR output lists in fail-chain order, from a precomputed out_link (the
 // fused aho_fail_links computes it in the same pass as fail itself).
 void aho_fill_out_ids_linked(const uint8_t* eow, const int32_t* out_link,

@@ -508,6 +508,50 @@ PyObject* m_patch_deep(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     return PyLong_FromLongLong((long long)n);
 }
 
+PyObject* m_hotcold_compose(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // stA(i32), amA(u8), dpA(u8), Ka, stB(i32), amB(u8), dpB(u8), Kb,
+    // spanA, stO(i32 w), amO(u8 w), dpO(u8 w), nthreads
+    long long Ka = PyLong_AsLongLong(args[3]);
+    long long Kb = PyLong_AsLongLong(args[7]);
+    long spanA = PyLong_AsLong(args[8]);
+    long nthreads = PyLong_AsLong(args[12]);
+    if (PyErr_Occurred()) return NULL;
+    Buffers b;
+    if (!b.grab(args[0], false) || !b.grab(args[1], false) ||
+        !b.grab(args[2], false) || !b.grab(args[4], false) ||
+        !b.grab(args[5], false) || !b.grab(args[6], false) ||
+        !b.grab(args[9], true) || !b.grab(args[10], true) ||
+        !b.grab(args[11], true))
+        return NULL;
+    int64_t S = b.len(0) / 4 / Ka;
+    Py_BEGIN_ALLOW_THREADS
+    aho_hotcold_compose(
+        (const int32_t*)b.buf(0), (const uint8_t*)b.buf(1),
+        (const uint8_t*)b.buf(2), Ka, (const int32_t*)b.buf(3),
+        (const uint8_t*)b.buf(4), (const uint8_t*)b.buf(5), Kb, S,
+        (int32_t)spanA, (int32_t*)b.buf(6), (uint8_t*)b.buf(7),
+        (uint8_t*)b.buf(8), (int32_t)nthreads);
+    Py_END_ALLOW_THREADS
+    Py_RETURN_NONE;
+}
+
+PyObject* m_hotcold_pack(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    // st(i32), am(u8), dp(u8), span, out(i32 w), nthreads
+    long span = PyLong_AsLong(args[3]);
+    long nthreads = PyLong_AsLong(args[5]);
+    if (PyErr_Occurred()) return NULL;
+    Buffers b;
+    if (!b.grab(args[0], false) || !b.grab(args[1], false) ||
+        !b.grab(args[2], false) || !b.grab(args[4], true))
+        return NULL;
+    Py_BEGIN_ALLOW_THREADS
+    aho_hotcold_pack((const int32_t*)b.buf(0), (const uint8_t*)b.buf(1),
+                     (const uint8_t*)b.buf(2), b.len(0) / 4, (int32_t)span,
+                     (int32_t*)b.buf(3), (int32_t)nthreads);
+    Py_END_ALLOW_THREADS
+    Py_RETURN_NONE;
+}
+
 PyObject* m_fill_out_ids(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     // eow(u8), fail(i32), word_id(i32), mc(i32), out_offsets(i64 w), out_ids(i32 w)
     Py_buffer e, fl, wid, mc, offs, oids;
@@ -798,6 +842,8 @@ PyMethodDef methods[] = {
     {"build_delta", (PyCFunction)(void*)m_build_delta, METH_FASTCALL, ""},
     {"scan_emit_sparse", (PyCFunction)(void*)m_scan_emit_sparse, METH_FASTCALL, ""},
     {"patch_deep", (PyCFunction)(void*)m_patch_deep, METH_FASTCALL, ""},
+    {"hotcold_compose", (PyCFunction)(void*)m_hotcold_compose, METH_FASTCALL, ""},
+    {"hotcold_pack", (PyCFunction)(void*)m_hotcold_pack, METH_FASTCALL, ""},
     {"fill_out_ids", (PyCFunction)(void*)m_fill_out_ids, METH_FASTCALL, ""},
     {"scan_states", (PyCFunction)(void*)m_scan_states, METH_FASTCALL, ""},
     {"scan_emit", (PyCFunction)(void*)m_scan_emit, METH_FASTCALL, ""},

@@ -256,13 +256,18 @@ def _make_flags_kernel(r1: int, tile: int, ov: int):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(b1T_ref, w4T_ref, g4_ref, ov_ref, mask_ref):
-        g = jnp.concatenate([ov_ref[:], g4_ref[:]], axis=1)  # (1, ov+tile)
+        # stream blocks are (1, 1, tile): the unit middle dim satisfies the
+        # "second-to-minor divisible by 8 or whole-array" block rule; [0]
+        # squeezes it (a static leading-dim slice, no sublane/lane crossing)
+        g = jnp.concatenate([ov_ref[0], g4_ref[0]], axis=1)  # (1, ov+tile)
         u = g.astype(jnp.uint32)
         hit1 = _kernel_bloom(b1T_ref[:], u, _M1, _WBITS_F32)
         prev1 = pltpu.roll(hit1, 1, axis=1)
         deep1 = hit1 & prev1
         w41 = _kernel_bloom(w4T_ref[:], u, _M2, _WBITS_BF16)
-        mask_ref[:] = (deep1 | (w41 << 1))[:, ov:]
+        # basic slice + unit-dim store (mixing None with slices in one
+        # subscript lowers to a gather, which Mosaic rejects)
+        mask_ref[0] = (deep1 | (w41 << 1))[:, ov:]
 
     return kernel
 
@@ -284,11 +289,11 @@ def _flags_call(r1: int, r4: int, tile: int, ov: int, n_tiles: int, interpret: b
         in_specs=[
             pl.BlockSpec((128, r1), lambda t: (0, 0)),
             pl.BlockSpec((128, r4), lambda t: (0, 0)),
-            pl.BlockSpec((1, tile), lambda t: (t, 0)),
-            pl.BlockSpec((1, ov), lambda t: (t, 0)),
+            pl.BlockSpec((1, 1, tile), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ov), lambda t: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda t: (t, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, tile), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, tile), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
@@ -339,9 +344,9 @@ def _make_flags_fn(K: int, r1: int, r4: int, n_tiles: int, interpret: bool):
         g4 = c3 * K3 + c2 * K2 + c1 * K + cls
         g4pad = jnp.pad(g4, (OV, 0))
         # ov codes preceding tile t = g4pad[t*T : t*T+OV]
-        ovmat = g4pad[:N].reshape(n_tiles, T)[:, :OV]
+        ovmat = g4pad[:N].reshape(n_tiles, 1, T)[:, :, :OV]
         mask = call(
-            b1T_tab, w4T_tab, g4.reshape(n_tiles, T), ovmat
+            b1T_tab, w4T_tab, g4.reshape(n_tiles, 1, T), ovmat
         ).reshape(N)
         return mask, g4
 

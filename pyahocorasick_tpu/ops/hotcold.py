@@ -183,8 +183,28 @@ def _hot1(compiled: CompiledAutomaton, d: int):
 
 def _compose(st_a, am_a, dp_a, span_a, st_b, am_b, dp_b):
     """Compose two stride tables: result consumes span_a + span_b chars.
-    Flag bitmasks concatenate (b's bits shifted up by span_a)."""
+    Flag bitmasks concatenate (b's bits shifted up by span_a).  Native path:
+    one parallel streaming pass (the tables reach ~2 GB; numpy's fancy-index
+    temporaries made this the dominant build cost)."""
     S = st_a.shape[0]
+    Ka = st_a.shape[1]
+    Kb = st_b.shape[1]
+    from .. import native
+
+    if native.available():
+        ext = native._load()
+        if hasattr(ext, "hotcold_compose"):
+            st = np.empty((S, Ka * Kb), np.int32)
+            am = np.empty((S, Ka * Kb), np.uint8)
+            dp = np.empty((S, Ka * Kb), np.uint8)
+            ext.hotcold_compose(
+                np.ascontiguousarray(st_a), np.ascontiguousarray(am_a),
+                np.ascontiguousarray(dp_a), Ka,
+                np.ascontiguousarray(st_b), np.ascontiguousarray(am_b),
+                np.ascontiguousarray(dp_b), Kb,
+                int(span_a), st, am, dp, min(4, os.cpu_count() or 1),
+            )
+            return st, am, dp
     mid = st_a  # [S, Ka]
     st = st_b[mid]  # [S, Ka, Kb]
     am = am_a[..., None] | (am_b[mid] << span_a)
@@ -221,11 +241,21 @@ def build_hotcold(
         return pieces[n]
 
     st_s, am_s, dp_s = get(s)
-    packed = (
-        st_s
-        | (am_s.astype(np.int32) << _SB)
-        | (dp_s.astype(np.int32) << (_SB + s))
-    )
+    from .. import native
+
+    if native.available() and hasattr(native._load(), "hotcold_pack"):
+        packed = np.empty(st_s.shape, np.int32)
+        native._load().hotcold_pack(
+            np.ascontiguousarray(st_s), np.ascontiguousarray(am_s),
+            np.ascontiguousarray(dp_s), s, packed,
+            min(4, os.cpu_count() or 1),
+        )
+    else:
+        packed = (
+            st_s
+            | (am_s.astype(np.int32) << _SB)
+            | (dp_s.astype(np.int32) << (_SB + s))
+        )
     ht = HotColdTables(d, s, compiled.num_classes, packed, st)
     if plan is None:
         cache["hotcold"] = ht
