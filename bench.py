@@ -342,10 +342,13 @@ def run_matrix(n_patterns, n_chars, reps):
     out["prewarm_wait_s"] = round(time.time() - t0, 2)
     log(f"[prewarm] blocking wait after haystack prep: {out['prewarm_wait_s']}s")
 
+    skip = set(
+        s for s in os.environ.get("BENCH_SKIP", "").split(",") if s
+    )
     # 1. headline: exact counts at 100k patterns — fused, cascade, hotcold
     for engine in ("fused", "cascade", "hotcold"):
-        if left() < 60:
-            break
+        if engine in skip or left() < 60:
+            continue
         try:
             r = bench_counts(compiled, cls, n_chars, reps, engine)
         except Exception as e:  # noqa: BLE001

@@ -134,15 +134,33 @@ class FusedTables:
         self.has_w4 = ct.codes_w4.size > 0
         self.r1 = r1
         self.r4 = r4
-        # stage-1
+        # stage-1 deep bloom: 24-bit words built with the f32 hash layout,
+        # then SPLIT into three bf16 tables of 8-bit words (bf16 is exact to
+        # 2^8 and runs without Precision.HIGHEST — 2x cheaper on the MXU for
+        # the same bloom bits).  The three tables share one hash/onehot.
         self.B1 = _bloom_build(deep_codes, _M1, r1, _WBITS_F32)
+        w24 = np.asarray(self.B1, np.float64).astype(np.int64)
+        self.B1s = np.stack(
+            [(w24 >> (8 * t)) & 0xFF for t in range(3)]
+        )  # (3, r1, 128) int
         self.W4 = _bloom_build(ct.codes_w4, _M2, r4, _WBITS_BF16)
-        # stage-2 (budget-sized application, so table count is cheap here)
-        self.S2a = _bloom_build(ct.codes_suf, _M2, 128, _WBITS_F32)
-        self.S2b = _bloom_build(ct.codes_suf, _M3, 128, _WBITS_F32)
-        self.S2c = _bloom_build(ct.codes_sufb, _M2, 128, _WBITS_F32)
-        self.S2d = _bloom_build(ct.codes_sufb, _M3, 128, _WBITS_F32)
-        self.W4b = _bloom_build(ct.codes_w4, _M3, 128, _WBITS_BF16)
+        # stage-2: five bf16 256-row tables, applied IN-KERNEL to the
+        # compacted per-tile candidates (order: code-M2, code-M3, prev-M2,
+        # prev-M3 for the deep families; code-M3 for w4)
+        r2s = 256
+        self.S2 = np.stack(
+            [
+                np.asarray(x, np.float32)
+                for x in (
+                    _bloom_build(ct.codes_suf, _M2, r2s, _WBITS_BF16),
+                    _bloom_build(ct.codes_suf, _M3, r2s, _WBITS_BF16),
+                    _bloom_build(ct.codes_sufb, _M2, r2s, _WBITS_BF16),
+                    _bloom_build(ct.codes_sufb, _M3, r2s, _WBITS_BF16),
+                    _bloom_build(ct.codes_w4, _M3, r2s, _WBITS_BF16),
+                )
+            ]
+        )  # (5, 256, 128)
+        self.r2s = r2s
 
         # expected stage-1 survivor rate on uniform input: gates the engine
         # (a saturated bloom would overflow the in-kernel compaction caps)
@@ -151,9 +169,19 @@ class FusedTables:
             _bloom_pass_rate(self.W4, _M2, _WBITS_BF16) if self.has_w4 else 0.0
         )
         self.s1_est = p_b1 * p_b1 + p_w4
-        # compaction budgets are sized from s1_est (see _budgets), so the
-        # gate only needs to bound the budget-sized work, not protect caps
-        if self.s1_est > 0.045:
+        # final (post-stage-2) survivor-rate estimate, for post budgets
+        p2 = [
+            _bloom_pass_rate(self.S2[i], m, _WBITS_BF16)
+            for i, m in ((0, _M2), (1, _M3), (2, _M2), (3, _M3), (4, _M3))
+        ]
+        self.fin_est = (
+            p_b1 * p_b1 * p2[0] * p2[1] * p2[2] * p2[3] + p_w4 * p2[4]
+        )
+        # per-tile candidate occupancy gate: mean stage-1 survivors per tile
+        # plus 5 sigma must fit the _CAP in-kernel slots (binomial tail; a
+        # runtime per-tile overflow check still guards the exactness)
+        mu = self.s1_est * (_TILE + _OVERLAP)
+        if mu + 5.0 * (mu**0.5) > _CAP:
             return  # dictionary too dense for the fused caps: use cascade
         self.ok = True
 
@@ -161,15 +189,19 @@ class FusedTables:
         import jax.numpy as jnp
 
         if not hasattr(self, "_dev"):
+            # kernel operands: stage-1 tables pre-transposed to (128, rows)
+            # lane-major form; the three B1 splits stacked on sublanes
+            b1t = np.concatenate(
+                [np.ascontiguousarray(self.B1s[t].T) for t in range(3)], 0
+            )  # (384, r1)
             self._dev = {
-                k: jnp.asarray(getattr(self, k))
-                for k in ("B1", "W4", "S2a", "S2b", "S2c", "S2d", "W4b")
+                "B1T": jnp.asarray(b1t, dtype=jnp.bfloat16),
+                "W4T": jnp.asarray(
+                    np.ascontiguousarray(np.asarray(self.W4, np.float32).T),
+                    dtype=jnp.bfloat16,
+                ),
+                "S2": jnp.asarray(self.S2, dtype=jnp.bfloat16),
             }
-            # lane-major kernel operands: tables pre-transposed on host
-            self._dev["B1T"] = jnp.asarray(np.ascontiguousarray(self.B1.T))
-            self._dev["W4T"] = jnp.asarray(
-                np.ascontiguousarray(np.asarray(self.W4).T)
-            )
         return self._dev
 
 
@@ -245,34 +277,175 @@ def _kernel_bloom(tabT_val, u_row, mult: int, wbits: int):
     return hit & 1
 
 
-def _make_flags_kernel(r1: int, tile: int, ov: int):
-    """Stage-1 flag kernel body: ONE B1 fetch (AND-shifted against itself for
-    the deep suf&sufb test) plus ONE W4 fetch; emits the per-tile stage-1
-    mask.  All tensors stay in the (rows, 1) layout — Mosaic cannot shape-
-    cast across the sublane/lane split (measured, tools/probe_pallas.py).
-    The ``ov`` elements preceding the tile arrive as a separate block so the
-    one-position shift of the B1 hit stream stays tile-local."""
+_CAP = 128           # per-tile candidate slots (compacted in-kernel)
+_OUT_W = 2 * _CAP    # [0:CAP] packed candidates, [CAP:2CAP] per-tile count
+
+
+def _make_flags_kernel(r1: int, r4: int, tile: int, ov: int,
+                       has5: bool, has_w4: bool):
+    """One-pass fused kernel: stage-1 blooms on the full (1, n) lane stream,
+    lane-axis compaction of the survivors (log-shift prefix sum + onehot
+    select-reduce — Mosaic has no vector gather, but a 0/1 multiply-reduce
+    is one), stage-2 blooms on the <=CAP compacted candidates, and a packed
+    per-tile candidate list as output.  The XLA post thus only ever touches
+    final-rate (~1e-4) survivors — the 48 ns/char full-stream hierarchical
+    compaction of v2 (measured) disappears.
+
+    Stage-1 deep test: the three bf16 B1 splits share ONE hash/onehot and
+    are stacked on sublanes, so one (384, r1) @ (r1, n) MXU contraction
+    fetches all 24 bloom bits; the suf&sufb AND rides a one-lane roll."""
+    import jax
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(b1T_ref, w4T_ref, g4_ref, ov_ref, mask_ref):
-        # stream blocks are (1, 1, tile): the unit middle dim satisfies the
-        # "second-to-minor divisible by 8 or whole-array" block rule; [0]
-        # squeezes it (a static leading-dim slice, no sublane/lane crossing)
-        g = jnp.concatenate([ov_ref[0], g4_ref[0]], axis=1)  # (1, ov+tile)
+    n = tile + ov
+
+    def kernel(b1T_ref, w4T_ref, s2_ref, g4_ref, ov_ref, out_ref):
+        g = jnp.concatenate([ov_ref[0], g4_ref[0]], axis=1)  # (1, n)
         u = g.astype(jnp.uint32)
-        hit1 = _kernel_bloom(b1T_ref[:], u, _M1, _WBITS_F32)
-        prev1 = pltpu.roll(hit1, 1, axis=1)
-        deep1 = hit1 & prev1
-        w41 = _kernel_bloom(w4T_ref[:], u, _M2, _WBITS_BF16)
-        # basic slice + unit-dim store (mixing None with slices in one
-        # subscript lowers to a gather, which Mosaic rejects)
-        mask_ref[0] = (deep1 | (w41 << 1))[:, ov:]
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
+        zero_row = jnp.zeros((1, n), jnp.int32)
+
+        # ---- stage 1: deep bloom (3 stacked bf16 tables, shared onehot)
+        if has5:
+            w, bits = _hash_parts_dev(u, _M1, r1 * 128, _WBITS_F32)
+            a = w >> 7
+            csel = w & 127
+            iota_r1 = jax.lax.broadcasted_iota(jnp.int32, (r1, n), 0)
+            oh1 = (a == iota_r1).astype(jnp.bfloat16)  # (r1, n)
+            r3 = jax.lax.dot_general(
+                b1T_ref[:], oh1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (384, n)
+            csel_m = csel == iota_c
+
+            def word_of(rs):
+                return (
+                    jnp.where(csel_m, rs, 0.0)
+                    .sum(axis=0, keepdims=True)
+                    .astype(jnp.int32)
+                )
+
+            w0 = word_of(r3[0:128])
+            w1 = word_of(r3[128:256])
+            w2 = word_of(r3[256:384])
+            hit1 = (
+                (w0 >> bits[0])
+                & (w1 >> (bits[1] - 8))
+                & (w2 >> (bits[2] - 16))
+                & 1
+            )
+            prev1 = pltpu.roll(hit1, 1, axis=1)
+            deep1 = hit1 & prev1
+        else:
+            deep1 = zero_row
+
+        # ---- stage 1: w4 bloom
+        if has_w4:
+            w4, bits4 = _hash_parts_dev(u, _M2, r4 * 128, _WBITS_BF16)
+            a4 = w4 >> 7
+            c4 = w4 & 127
+            iota_r4 = jax.lax.broadcasted_iota(jnp.int32, (r4, n), 0)
+            oh4 = (a4 == iota_r4).astype(jnp.bfloat16)
+            rw = jax.lax.dot_general(
+                w4T_ref[:], oh4, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (128, n)
+            w4w = (
+                jnp.where(c4 == iota_c, rw, 0.0)
+                .sum(axis=0, keepdims=True)
+                .astype(jnp.int32)
+            )
+            w41 = (w4w >> bits4[0]) & (w4w >> bits4[1]) & 1
+        else:
+            w41 = zero_row
+
+        kind = deep1 | (w41 << 1)  # (1, n)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        hit = ((kind > 0) & (lane >= ov)).astype(jnp.int32)
+
+        # ---- lane-axis inclusive prefix sum (Hillis-Steele via rolls)
+        c = hit
+        k = 1
+        while k < n:
+            c = c + jnp.where(lane >= k, pltpu.roll(c, k, axis=1), 0)
+            k <<= 1
+        slot = c - 1
+        total = jax.lax.slice(c, (0, n - 1), (1, n))  # (1, 1)
+
+        # ---- compact to sublanes: (CAP, n) onehot select-reduce
+        iota_cap = jax.lax.broadcasted_iota(jnp.int32, (_CAP, n), 0)
+        seli = ((slot == iota_cap) & (hit > 0)).astype(jnp.int32)
+
+        def pick(vals_1n):  # (1, n) int32 -> (CAP, 1)
+            return (seli * vals_1n).sum(axis=1, keepdims=True)
+
+        gi = g.astype(jnp.int32)
+        cand_ck = pick(gi | (kind << 24))          # code (24b) | kind
+        cand_prev = pick(pltpu.roll(gi, 1, axis=1))
+        cand_pos = pick(lane - ov)
+        cand_code = cand_ck & 0xFFFFFF
+        cand_kind = cand_ck >> 24
+        cand_valid = pick(hit)
+
+        # ---- stage 2 on the compacted candidates (column-major blooms)
+        def bloom_col(tab, uu, mult):
+            rows = tab.shape[0]
+            wv, bb = _hash_parts_dev(uu, mult, rows * 128, _WBITS_BF16)
+            av = wv >> 7
+            cv = wv & 127
+            iota_rows = jax.lax.broadcasted_iota(jnp.int32, (_CAP, rows), 1)
+            ohv = (av == iota_rows).astype(tab.dtype)
+            rv = jax.lax.dot_general(
+                ohv, tab, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CAP, 128)
+            iota_l = jax.lax.broadcasted_iota(jnp.int32, (_CAP, 128), 1)
+            wordv = (
+                jnp.where(cv == iota_l, rv, 0.0)
+                .sum(axis=1, keepdims=True)
+                .astype(jnp.int32)
+            )
+            h = wordv >> bb[0]
+            for b in bb[1:]:
+                h = h & (wordv >> b)
+            return h & 1  # (CAP, 1)
+
+        u2 = cand_code.astype(jnp.uint32)
+        upv = cand_prev.astype(jnp.uint32)
+        if has5:
+            d2 = (
+                bloom_col(s2_ref[0], u2, _M2)
+                & bloom_col(s2_ref[1], u2, _M3)
+                & bloom_col(s2_ref[2], upv, _M2)
+                & bloom_col(s2_ref[3], upv, _M3)
+            )
+        else:
+            d2 = jnp.zeros((_CAP, 1), jnp.int32)
+        if has_w4:
+            w2b = bloom_col(s2_ref[4], u2, _M3)
+        else:
+            w2b = jnp.zeros((_CAP, 1), jnp.int32)
+        kd = cand_kind & 1
+        kw = (cand_kind >> 1) & 1
+        fin = cand_valid * ((kd & d2) | (kw & w2b))
+
+        entry = (cand_pos & 0x7FF) | (cand_kind << 11) | (fin << 13)
+
+        # ---- (CAP, 1) -> (1, CAP) diag extract; append the total count
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (_CAP, _CAP), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (_CAP, _CAP), 1)
+        ).astype(jnp.int32)
+        row = (eye * entry).sum(axis=0, keepdims=True)  # (1, CAP)
+        cnt = jnp.broadcast_to(total, (1, _CAP))
+        out_ref[0] = jnp.concatenate([row, cnt], axis=1)  # (1, 2*CAP)
 
     return kernel
 
 
-def _flags_call(r1: int, r4: int, tile: int, ov: int, n_tiles: int, interpret: bool):
+def _flags_call(r1: int, r4: int, r2s: int, tile: int, ov: int, n_tiles: int,
+                has5: bool, has_w4: bool, interpret: bool):
     """One GRIDDED pallas_call over all tiles: a single compiled kernel with
     a hardware-managed grid loop.  (The v1 wrapper mapped a per-tile kernel
     with lax.map — a map-of-kernel pipeline whose remote compile exceeds 25
@@ -282,18 +455,19 @@ def _flags_call(r1: int, r4: int, tile: int, ov: int, n_tiles: int, interpret: b
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = _make_flags_kernel(r1, tile, ov)
+    kernel = _make_flags_kernel(r1, r4, tile, ov, has5, has_w4)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((128, r1), lambda t: (0, 0)),
+            pl.BlockSpec((384, r1), lambda t: (0, 0)),
             pl.BlockSpec((128, r4), lambda t: (0, 0)),
+            pl.BlockSpec((5, r2s, 128), lambda t: (0, 0, 0)),
             pl.BlockSpec((1, 1, tile), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, 1, ov), lambda t: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, _OUT_W), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, _OUT_W), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
@@ -308,34 +482,21 @@ def _use_interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# XLA pipeline: g4 codes -> map(kernel) -> hierarchical compaction ->
-# stage-2 blooms on the budget-sized candidates -> exact bucket verify
+# XLA pipeline: g4 codes -> gridded kernel (flags + in-kernel compaction +
+# stage-2) -> budget-sized global compaction -> exact S4/bucket verify
 
 
-def _bloom_bit2_xla(tab, codes_u32, mult: int, wbits: int):
-    """XLA-side k-in-word bloom test on a budget-sized 1-D code array."""
-    rows = tab.shape[0]
-    w, bits = _hash_parts_dev(codes_u32, mult, rows * 128, wbits)
-    word = _c._bilinear_word(tab, w)
-    hit = word >> bits[0]
-    for b in bits[1:]:
-        hit = hit & (word >> b)
-    return hit & 1
-
-
-def _make_flags_fn(K: int, r1: int, r4: int, n_tiles: int, interpret: bool):
-    """jit: int8 classes -> (stage1 mask (N,), g4 codes (N,)) via ONE
-    gridded Pallas call.  Each grid step reads its (tile, 1) block of the
-    code stream plus an (ov, 1) block of the ov codes that precede the tile
-    (precomputed by slicing the padded stream with a stride-tile reshape)."""
+def _make_flags_fn(K: int, r1: int, r4: int, r2s: int, n_tiles: int,
+                   has5: bool, has_w4: bool, interpret: bool):
+    """jit: int8 classes -> (cand (n_tiles, OUT_W), g4 codes (N,))."""
     import jax
     import jax.numpy as jnp
 
     T, OV = _TILE, _OVERLAP
     K2, K3 = K * K, K * K * K
-    call = _flags_call(r1, r4, T, OV, n_tiles, interpret)
+    call = _flags_call(r1, r4, r2s, T, OV, n_tiles, has5, has_w4, interpret)
 
-    def fn(cls_i8, b1T_tab, w4T_tab):
+    def fn(cls_i8, b1T_tab, w4T_tab, s2_tab):
         N = cls_i8.shape[0]  # == n_tiles * T
         cls = cls_i8.astype(jnp.int32)
         c1 = jnp.pad(cls, (1, 0))[:N]
@@ -345,93 +506,64 @@ def _make_flags_fn(K: int, r1: int, r4: int, n_tiles: int, interpret: bool):
         g4pad = jnp.pad(g4, (OV, 0))
         # ov codes preceding tile t = g4pad[t*T : t*T+OV]
         ovmat = g4pad[:N].reshape(n_tiles, 1, T)[:, :, :OV]
-        mask = call(
-            b1T_tab, w4T_tab, g4.reshape(n_tiles, 1, T), ovmat
-        ).reshape(N)
-        return mask, g4
+        cand = call(
+            b1T_tab, w4T_tab, s2_tab, g4.reshape(n_tiles, 1, T), ovmat
+        ).reshape(n_tiles, _OUT_W)
+        return cand, g4
 
     return jax.jit(fn)
 
 
-def _make_post_fn(
-    has5, has_w4, bucket_max, bbud, sbud, cbud, P, interpret
-):
-    """jit: (mask, g4, vstart) -> (counts, deep_pos, deep_id, totals).
+def _make_post_fn(bucket_max, gb1, gb2, P, interpret):
+    """jit: (cand, g4, vstart, n_valid, d) ->
+    (counts, deep_pos, deep_id, totals[ovf_max, t1, t2, dtot]).
 
-    The compaction is the 3-level hierarchy of ops/cascade.py (budget-sized
-    scatters only); stage-2 blooms then kill surviving stage-1 false
-    positives before the exact S4/bucket verification."""
+    The kernel already compacted + stage-2-filtered per tile; this pass only
+    compacts the sparse final candidates globally (two budget-sized levels)
+    and runs the exact S4/bucket verification."""
     import jax
     import jax.numpy as jnp
 
-    from .cascade import _BLK, _DEEP_BUDGET, _bucket_verify, _compact
+    from .cascade import _DEEP_BUDGET, _bucket_verify, _compact
 
-    def fn(mask, g4, vstart, n_valid, d, ft):
-        N = mask.shape[0]
-        pos = jnp.arange(N, dtype=jnp.int32)
-        # n_valid masks the tile padding: repeated class-0 tails could
-        # otherwise fake candidates that survive the exact g4 compare
-        s1 = (mask > 0) & (pos >= jnp.maximum(vstart, 3)) & (pos < n_valid)
-        flag = s1.astype(jnp.int8)
-
+    def fn(cand, g4, vstart, n_valid, d):
+        n_tiles = cand.shape[0]
         counts = jnp.zeros((P + 1,), jnp.int32)
+        ovf = cand[:, _CAP].max()  # any per-tile count > CAP => fallback
+        entries = cand[:, :_CAP].reshape(-1)
+        fin = (entries >> 13) & 1
 
-        # 3-level hierarchical compaction (cascade.py:449-489 design)
-        padb = (-N) % _BLK
-        fpad = jnp.pad(flag, (0, padb))
-        nblk = fpad.shape[0] // _BLK
-        f8 = fpad.reshape(nblk * 4, 8).max(axis=1)
-        blk_any = f8.reshape(nblk, 4).max(axis=1).astype(jnp.int32)
-        bbuf, btot = _compact(blk_any, bbud)
-        bvalid = bbuf >= 0
-        s8pos = (
-            jnp.maximum(bbuf, 0)[:, None] * 4
-            + jnp.arange(4, dtype=jnp.int32)[None, :]
+        # two-level compaction (blocks of 32) of the final flags
+        m = entries.shape[0]
+        pad = (-m) % 32
+        f = jnp.pad(fin, (0, pad))
+        nblk = f.shape[0] // 32
+        blk = (f.reshape(nblk, 32).max(axis=1) > 0).astype(jnp.int32)
+        b1, t1 = _compact(blk, gb1)
+        bval = b1 >= 0
+        idx32 = (
+            jnp.maximum(b1, 0)[:, None] * 32
+            + jnp.arange(32, dtype=jnp.int32)[None, :]
         )
-        sflag = (
-            jnp.take(f8, jnp.minimum(s8pos, nblk * 4 - 1), mode="clip")
-            .astype(jnp.int32)
-            * bvalid[:, None]
-        ).reshape(-1)
-        sbuf, stot = _compact(sflag, sbud)
-        svalid = sbuf >= 0
-        g8 = jnp.take(s8pos.reshape(-1), jnp.maximum(sbuf, 0), mode="clip")
-        cpos = g8[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, :]
-        cflag = (
-            jnp.take(fpad, jnp.minimum(cpos, N - 1), mode="clip")
-            .astype(jnp.int32)
-            * svalid[:, None]
-            * (cpos < N)
-        ).reshape(-1)
-        cbuf, ctot = _compact(cflag, cbud)
-        cvalid = cbuf >= 0
-        ep = jnp.take(cpos.reshape(-1), jnp.maximum(cbuf, 0), mode="clip")
-
-        # stage-2 blooms on the compacted candidates
-        eg4 = jnp.take(g4, ep, mode="clip")
-        egp = jnp.take(g4, jnp.maximum(ep - 1, 0), mode="clip")
-        kinds = jnp.take(mask, ep, mode="clip")
-        kd = (kinds & 1) > 0
-        kw = (kinds & 2) > 0
-        u4 = eg4.astype(jnp.uint32)
-        up = egp.astype(jnp.uint32)
-        if has5:
-            d2 = (
-                _bloom_bit2_xla(ft["S2a"], u4, _M2, _WBITS_F32)
-                & _bloom_bit2_xla(ft["S2b"], u4, _M3, _WBITS_F32)
-                & _bloom_bit2_xla(ft["S2c"], up, _M2, _WBITS_F32)
-                & _bloom_bit2_xla(ft["S2d"], up, _M3, _WBITS_F32)
-            ) > 0
-        else:
-            d2 = jnp.zeros_like(kd)
-        if has_w4:
-            w2 = _bloom_bit2_xla(ft["W4b"], u4, _M3, _WBITS_BF16) > 0
-        else:
-            w2 = jnp.zeros_like(kw)
-        final = cvalid & ((kd & d2) | (kw & w2))
+        sub = (
+            jnp.take(f, idx32.reshape(-1), mode="clip").reshape(-1, 32)
+            * bval[:, None]
+        )
+        b2, t2 = _compact(sub.reshape(-1), gb2)
+        v2 = b2 >= 0
+        gidx = jnp.take(idx32.reshape(-1), jnp.maximum(b2, 0), mode="clip")
+        e = jnp.take(entries, jnp.minimum(gidx, m - 1), mode="clip")
+        tile_i = gidx // _CAP
+        ep = tile_i * _TILE + (e & 0x7FF)
+        cval = (
+            v2
+            & (ep >= jnp.maximum(vstart, 3))
+            & (ep < n_valid)
+        )
+        eg4 = jnp.take(g4, jnp.minimum(ep, n_valid - 1), mode="clip")
 
         counts, deep_flag, deep_ids = _bucket_verify(
-            d, ep, eg4, final, g4, counts, P, bucket_max, cbud
+            d, ep, eg4, cval, g4, counts, P, bucket_max, gb2
         )
         dbuf, dtot = _compact(deep_flag.reshape(-1), _DEEP_BUDGET)
         dvalid = dbuf >= 0
@@ -446,7 +578,7 @@ def _make_post_fn(
             counts[:P],
             deep_pos,
             deep_id,
-            jnp.stack([btot, stot, ctot, dtot]),
+            jnp.stack([ovf, t1, t2, dtot]),
         )
 
     return jax.jit(fn)
@@ -460,20 +592,22 @@ def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
-def _budgets(N: int, s1: float):
-    """Compaction budgets sized from the estimated stage-1 survivor rate
-    (x3 safety, floor 4096, rounded to powers of two so the set of compiled
-    post programs stays bounded); overflow is detected and returns None."""
-    if N <= (1 << 16):
-        nblk = -(-N // 32)
-        return nblk, N, N
-    p32 = 1.0 - (1.0 - s1) ** 32
-    p8 = 1.0 - (1.0 - s1) ** 8
-    nblk = -(-N // 32)
-    bbud = min(nblk, max(1 << 12, _pow2(nblk * p32 * 3)))
-    sbud = min(nblk * 4, max(1 << 12, _pow2((N // 8) * p8 * 3)))
-    cbud = min(N, max(1 << 12, _pow2(N * s1 * 3)))
-    return bbud, sbud, cbud
+def _budgets(n_tiles: int, ft, ct, K: int):
+    """Global-compaction budgets for the FINAL (post-stage-2) candidates:
+    measured bloom false-positive rate plus an estimate of the true
+    candidate rate (l4 patterns + correlated deep-suffix pairs), x4 safety,
+    pow2 so the compiled post-program set stays bounded."""
+    m = n_tiles * _CAP
+    N = n_tiles * _TILE
+    k4 = float(K) ** 4
+    true_rate = ct.codes_w4.size / k4 + 50.0 * (
+        (ct.codes_suf.size / k4) * (ct.codes_sufb.size / k4)
+    )
+    rate = ft.fin_est + true_rate
+    gb2 = min(_pow2(m), max(1 << 15, _pow2(N * rate * 4)))
+    p32 = 1.0 - (1.0 - min(rate * _TILE / _CAP, 1.0)) ** 32
+    gb1 = min(_pow2(-(-m // 32)), max(1 << 12, _pow2(m / 32 * p32 * 4)))
+    return gb1, gb2
 
 
 def _bucket_tiles(n_tiles: int) -> int:
@@ -526,19 +660,19 @@ def count_matches_fused(
     # compiled flag programs at <= 25% padding waste)
     n_tiles = _bucket_tiles(-(-N // _TILE))
     Npad = n_tiles * _TILE
-    bbud, sbud, cbud = _budgets(Npad, max(ft.s1_est, 1e-4))
+    gb1, gb2 = _budgets(n_tiles, ft, ct, compiled.num_classes)
 
     interp = _use_interpret()
-    fkey = (compiled.num_classes, ft.r1, ft.r4, n_tiles, interp)
+    fkey = (
+        compiled.num_classes, ft.r1, ft.r4, ft.r2s, n_tiles,
+        ft.has5, ft.has_w4, interp,
+    )
     if fkey not in _FLAGS_CACHE:
         from ..utils.compile_cache import ensure_compile_cache
 
         ensure_compile_cache()
         _FLAGS_CACHE[fkey] = _make_flags_fn(*fkey)
-    pkey = (
-        ft.has5, ft.has_w4, max(ct.bucket_max, 1), bbud, sbud, cbud,
-        ct.num_patterns, interp,
-    )
+    pkey = (max(ct.bucket_max, 1), gb1, gb2, ct.num_patterns, interp)
     if pkey not in _POST_CACHE:
         _POST_CACHE[pkey] = _make_post_fn(*pkey)
 
@@ -567,9 +701,11 @@ def count_matches_fused(
         host_thread = threading.Thread(target=_host_hist)
         host_thread.start()
 
-    mask, g4 = _FLAGS_CACHE[fkey](cls_dev, ftd["B1T"], ftd["W4T"])
+    cand, g4 = _FLAGS_CACHE[fkey](
+        cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2"]
+    )
     counts, deep_pos, deep_id, totals = _POST_CACHE[pkey](
-        mask, g4, np.int32(vstart), np.int32(N), dev, ftd
+        cand, g4, np.int32(vstart), np.int32(N), dev
     )
     totals = np.asarray(totals)
     if host_thread is not None:
@@ -577,9 +713,9 @@ def count_matches_fused(
     from .cascade import _DEEP_BUDGET
 
     if (
-        totals[0] > bbud
-        or totals[1] > sbud
-        or totals[2] > cbud
+        totals[0] > _CAP  # a tile overflowed its candidate slots
+        or totals[1] > gb1
+        or totals[2] > gb2
         or totals[3] > _DEEP_BUDGET
     ):
         return None  # budget overflow: caller falls back to an exact engine

@@ -90,7 +90,10 @@ def plan_hotcold(
     if max_depth < 1 or K < 2 or S < 2:
         return None
     best = None
-    for d in range(2, max_depth + 1):
+    # d >= 3: the host hist3 pass covers lengths <= 3 (overlapped), the
+    # device any-match bits cover [4, d], the patch covers > d — d < 3
+    # would double-count length-3 matches between host and patch
+    for d in range(3, max_depth + 1):
         S_hot = int(ls[d + 1]) if d + 1 < len(ls) else S
         if S_hot > (1 << _SB):
             break
@@ -177,7 +180,18 @@ def _hot1(compiled: CompiledAutomaton, d: int):
             else:  # cold child: project one fail step (depth(fail) <= d)
                 hot[p, c] = fail[cids]
                 deep[p, c] = 1
-    am = (compiled.match_count[hot] > 0).astype(np.uint8)
+    # any-match bits cover lengths [4, d] ONLY: the <=3 lengths are counted
+    # by the overlapped host histogram (cascade _short_counts_host) — on
+    # short-heavy dictionaries they make the flag plane ~2.4% dense, which
+    # swamps the budget compaction (measured 37 ns/char); restricted to >=4
+    # the plane stays sparse (~n4/K^4)
+    mc = compiled.match_count[:S_hot].astype(np.int64)
+    end = int(compiled.out_offsets[S_hot])
+    ids = compiled.out_ids[:end]
+    rows = np.repeat(np.arange(S_hot, dtype=np.int64), mc)
+    long_mask = compiled.word_len[ids] >= 4
+    mc4 = np.bincount(rows[long_mask], minlength=S_hot)
+    am = (mc4[hot] > 0).astype(np.uint8)
     return hot, am, deep
 
 
@@ -505,9 +519,10 @@ def _patch(compiled, cls, groups, span, d, base=0):
 
 class HotColdResult:
     """Exact scan decomposition: ``short_positions_count`` = number of
-    positions where >= 1 match of length <= d ends (device, from the packed
-    any-match bits); (deep_pos, deep_pid) = every match of length > d
-    (host patch), position-sorted."""
+    positions where >= 1 match of length in [4, d] ends (device, from the
+    packed any-match bits; lengths <= 3 are host-histogram work, see
+    _hot1); (deep_pos, deep_pid) = every match of length > d (host patch),
+    position-sorted."""
 
     def __init__(self, short_positions_count, deep_pos, deep_pid, d, s):
         self.short_positions_count = int(short_positions_count)
@@ -589,15 +604,18 @@ def _deep_matches(compiled, ht, gidx, L, B, N, cls, halo):
 
 
 def _hot_csr(compiled, ht):
-    """Cached (rows, ids) of the hot states' CSR output lists: counts[pid]
+    """Cached (rows, ids) of the hot states' CSR output lists RESTRICTED to
+    pattern lengths >= 4 (matching the any-match bit semantics): counts[pid]
     folds as counts[ids] += hist[rows]."""
     cache = compiled._cache
     key = ("hotcold_csr", ht.d)
     if key not in cache:
         mc = compiled.match_count[: ht.S_hot].astype(np.int64)
         end = int(compiled.out_offsets[ht.S_hot])
+        ids = compiled.out_ids[:end]
         rows = np.repeat(np.arange(ht.S_hot, dtype=np.int64), mc)
-        cache[key] = (rows, compiled.out_ids[:end])
+        keep = compiled.word_len[ids] >= 4
+        cache[key] = (rows[keep], ids[keep])
     return cache[key]
 
 
@@ -621,6 +639,38 @@ def hotcold_count_matches(
     P = compiled.num_patterns
     if N == 0:
         return np.zeros(P, np.int64)
+
+    # lengths <= 3 are counted on the host (hist3 LUT, GIL-released),
+    # overlapped with the device scan — the device any-match bits only
+    # cover [4, d] (see _hot1)
+    has_short = compiled.word_len.size and int(compiled.word_len.min()) <= 3
+    short_thread = None
+    short_box: dict = {}
+    if has_short:
+        from . import cascade as _c
+
+        ct = _c.build_tables(compiled)
+        if ct is None or not any(ct.has):
+            return None  # no exact host path for the short lengths
+
+        def _short():
+            try:
+                if halo is not None and halo.size:
+                    H = max(int(compiled.longest_word), 1)
+                    full = np.concatenate(
+                        [halo[-H:].astype(np.int32), cls]
+                    )
+                    vs = min(int(halo[-H:].size), H)
+                else:
+                    full, vs = cls, 0
+                short_box["counts"] = _c._short_counts_host(ct, full, vs)
+            except BaseException as exc:  # noqa: BLE001
+                short_box["error"] = exc
+
+        import threading
+
+        short_thread = threading.Thread(target=_short)
+        short_thread.start()
 
     if staged is not None:
         pc_dev, warm, B = staged
@@ -668,4 +718,9 @@ def hotcold_count_matches(
     )
     if deep_pid.size:
         counts += np.bincount(deep_pid, minlength=P).astype(np.int64)
+    if short_thread is not None:
+        short_thread.join()
+        if "counts" not in short_box:
+            return None
+        counts += short_box["counts"]
     return counts

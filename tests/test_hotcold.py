@@ -1,8 +1,8 @@
 """Hot/cold projection-automaton engine (ops/hotcold.py): differential
 tests against the sequential oracle.  The engine's contract: exact
-any-match flags for matches of length <= d (device) and the exact list of
-matches of length > d (host patch), for any dictionary, block size, and
-stride — including pathological inputs whose deep episodes span blocks."""
+any-match flags for matches of length in [4, d] (device; lengths <= 3 are
+host-histogram work) and the exact list of matches of length > d (host
+patch), for any dictionary, block size, and stride — including pathological inputs whose deep episodes span blocks."""
 
 import os
 import sys
@@ -30,11 +30,13 @@ def _cls(compiled, text):
 
 
 def _oracle(compiled, cls, d, halo=None):
-    """(short-matched-position count, deep matches) from the seq oracle."""
+    """(mid-matched-position count, deep matches) from the seq oracle.
+    The device any-match bits cover lengths [4, d] only (lengths <= 3 are
+    host-histogram work)."""
     states = cpu.scan_states_blocked(compiled, cls, halo)
     pos, pids = cpu.emit_matches(compiled, states)
     lens = compiled.word_len[pids]
-    short_positions = np.unique(pos[lens <= d]).size
+    short_positions = np.unique(pos[(lens >= 4) & (lens <= d)]).size
     dmask = lens > d
     return short_positions, pos[dmask], pids[dmask]
 
@@ -57,10 +59,10 @@ def _run(words, text, d, s, halo_text=None, block=None):
 
 
 def test_canonical_fixture():
-    _run("he her hers she".split(), "_sherhershe_" * 3, d=2, s=2)
+    _run("he her hers she".split(), "_sherhershe_" * 3, d=3, s=2)
 
 
-@pytest.mark.parametrize("d,s", [(2, 2), (3, 2), (2, 3), (3, 4)])
+@pytest.mark.parametrize("d,s", [(3, 2), (4, 2), (3, 3), (4, 4)])
 def test_random_small_alphabet(d, s):
     rng = np.random.default_rng(5)
     words = [
@@ -96,7 +98,7 @@ def test_halo_episode_continuation():
 def test_fully_hot_automaton_no_patches():
     """d >= max depth: everything is hot, zero deep work."""
     words = ["ab", "bc", "ca"]
-    res = _run(words, "abcabcab" * 20, d=2, s=2)
+    res = _run(words, "abcabcab" * 20, d=3, s=2)
     assert res.deep_pos.size == 0
 
 
@@ -161,7 +163,7 @@ def _count_oracle(compiled, cls, halo=None):
     return np.bincount(pids, minlength=compiled.num_patterns).astype(np.int64)
 
 
-@pytest.mark.parametrize("d,s", [(2, 2), (3, 2), (3, 4)])
+@pytest.mark.parametrize("d,s", [(3, 2), (4, 2), (3, 4)])
 def test_count_matches_exact(d, s):
     rng = np.random.default_rng(17)
     words = [
