@@ -568,15 +568,24 @@ def hotcold_scan(
     bud1, bud2 = _deep_budgets(compiled, ht, nplane)
     gidx, totals = compact_deep(plane, ht.s, bud1, bud2)
 
-    nm_host = np.asarray(nm).astype(np.int64)
+    # fetch discipline: the relay moves ~10 MB/s (PLAN.md), so reduce nm to
+    # a scalar on device and fetch only the occupied prefix of the deep
+    # buffer (totals first, then a pow2-rounded slice)
+    import jax.numpy as jnp2
+
+    nm_total = int(np.asarray(jnp2.sum(nm)))
     totals = np.asarray(totals)
     if totals[0] > bud1 or totals[1] > bud2:
         return None  # unexpectedly dense deep plane: fall back to exact path
+    nd = int(totals[1])
+    gidx_host = (
+        np.asarray(gidx[: _pow2(max(nd, 1))]) if nd else np.empty(0, np.int64)
+    )
 
     deep_pos, deep_pid = _deep_matches(
-        compiled, ht, np.asarray(gidx), L, B, N, cls, halo
+        compiled, ht, gidx_host, L, B, N, cls, halo
     )
-    return HotColdResult(int(nm_host.sum()), deep_pos, deep_pid, ht.d, ht.s)
+    return HotColdResult(nm_total, deep_pos, deep_pid, ht.d, ht.s)
 
 
 def _deep_matches(compiled, ht, gidx, L, B, N, cls, halo):
@@ -688,8 +697,9 @@ def hotcold_count_matches(
     nplane = steps * L
 
     # short-match histogram: budgets sized from the measured match count
-    nm_host = np.asarray(nm).astype(np.int64)
-    total_short = int(nm_host.sum())
+    # (device scalar reduce: fetching the [L] per-lane counts would cost
+    # ~0.4 s through the relay at bench lane counts)
+    total_short = int(np.asarray(jnp.sum(nm)))
     bud2m = min(_pow2(nplane), max(1 << 12, _pow2(total_short * 2)))
     bud1m = min(
         _pow2(-(-nplane // 32)),
@@ -713,8 +723,12 @@ def hotcold_count_matches(
     totals = np.asarray(totals)
     if totals[0] > bud1 or totals[1] > bud2:
         return None
+    nd = int(totals[1])
+    gidx_host = (
+        np.asarray(gidx[: _pow2(max(nd, 1))]) if nd else np.empty(0, np.int64)
+    )
     _, deep_pid = _deep_matches(
-        compiled, ht, np.asarray(gidx), L, B, N, cls, halo
+        compiled, ht, gidx_host, L, B, N, cls, halo
     )
     if deep_pid.size:
         counts += np.bincount(deep_pid, minlength=P).astype(np.int64)
