@@ -514,26 +514,21 @@ def _make_flags_fn(K: int, r1: int, r4: int, r2s: int, n_tiles: int,
     return jax.jit(fn)
 
 
-def _make_post_fn(bucket_max, gb1, gb2, P, interpret):
-    """jit: (cand, g4, vstart, n_valid, d) ->
-    (counts, deep_pos, deep_id, totals[ovf_max, t1, t2, dtot]).
-
-    The kernel already compacted + stage-2-filtered per tile; this pass only
-    compacts the sparse final candidates globally (two budget-sized levels)
-    and runs the exact S4/bucket verification."""
+def _make_post_compact(gb1, gb2, interpret):
+    """jit: cand -> (gbuf, totals[ovf_max, t1, t2]).  Two budget-sized
+    compaction levels over the kernel's final-candidate flags; the verify
+    pass is a SEPARATE dispatch sized by the actual survivor count (a
+    static overestimate here would multiply bucket_verify's gather count
+    by the budget slack — measured 30+ ns/char at a 524k budget)."""
     import jax
     import jax.numpy as jnp
 
-    from .cascade import _DEEP_BUDGET, _bucket_verify, _compact
+    from .cascade import _compact
 
-    def fn(cand, g4, vstart, n_valid, d):
-        n_tiles = cand.shape[0]
-        counts = jnp.zeros((P + 1,), jnp.int32)
+    def fn(cand):
         ovf = cand[:, _CAP].max()  # any per-tile count > CAP => fallback
         entries = cand[:, :_CAP].reshape(-1)
         fin = (entries >> 13) & 1
-
-        # two-level compaction (blocks of 32) of the final flags
         m = entries.shape[0]
         pad = (-m) % 32
         f = jnp.pad(fin, (0, pad))
@@ -550,20 +545,38 @@ def _make_post_fn(bucket_max, gb1, gb2, P, interpret):
             * bval[:, None]
         )
         b2, t2 = _compact(sub.reshape(-1), gb2)
-        v2 = b2 >= 0
-        gidx = jnp.take(idx32.reshape(-1), jnp.maximum(b2, 0), mode="clip")
-        e = jnp.take(entries, jnp.minimum(gidx, m - 1), mode="clip")
-        tile_i = gidx // _CAP
-        ep = tile_i * _TILE + (e & 0x7FF)
-        cval = (
-            v2
-            & (ep >= jnp.maximum(vstart, 3))
-            & (ep < n_valid)
+        gidx = jnp.where(
+            b2 >= 0,
+            jnp.take(idx32.reshape(-1), jnp.maximum(b2, 0), mode="clip"),
+            -1,
         )
+        return gidx, jnp.stack([ovf, t1, t2])
+
+    return jax.jit(fn)
+
+
+def _make_post_verify(bucket_max, vbud, P, interpret):
+    """jit: (gidx_slice, entries, g4, vstart, n_valid, d) ->
+    (counts, deep_pos, deep_id, dtot).  Runs the exact S4/bucket
+    verification on the tightly-sized survivor list."""
+    import jax
+    import jax.numpy as jnp
+
+    from .cascade import _DEEP_BUDGET, _bucket_verify, _compact
+
+    def fn(gidx, entries, g4, vstart, n_valid, d):
+        counts = jnp.zeros((P + 1,), jnp.int32)
+        v = gidx >= 0
+        iv = jnp.maximum(gidx, 0)
+        m = entries.shape[0]
+        e = jnp.take(entries, jnp.minimum(iv, m - 1), mode="clip")
+        tile_i = iv // _CAP
+        ep = tile_i * _TILE + (e & 0x7FF)
+        cval = v & (ep >= jnp.maximum(vstart, 3)) & (ep < n_valid)
         eg4 = jnp.take(g4, jnp.minimum(ep, n_valid - 1), mode="clip")
 
         counts, deep_flag, deep_ids = _bucket_verify(
-            d, ep, eg4, cval, g4, counts, P, bucket_max, gb2
+            d, ep, eg4, cval, g4, counts, P, bucket_max, vbud
         )
         dbuf, dtot = _compact(deep_flag.reshape(-1), _DEEP_BUDGET)
         dvalid = dbuf >= 0
@@ -574,12 +587,7 @@ def _make_post_fn(bucket_max, gb1, gb2, P, interpret):
         deep_id = jnp.where(
             dvalid, jnp.take(deep_ids.reshape(-1), di, mode="clip"), -1
         )
-        return (
-            counts[:P],
-            deep_pos,
-            deep_id,
-            jnp.stack([ovf, t1, t2, dtot]),
-        )
+        return counts[:P], deep_pos, deep_id, dtot
 
     return jax.jit(fn)
 
@@ -672,9 +680,9 @@ def count_matches_fused(
 
         ensure_compile_cache()
         _FLAGS_CACHE[fkey] = _make_flags_fn(*fkey)
-    pkey = (max(ct.bucket_max, 1), gb1, gb2, ct.num_patterns, interp)
-    if pkey not in _POST_CACHE:
-        _POST_CACHE[pkey] = _make_post_fn(*pkey)
+    ckey = (gb1, gb2, interp)
+    if ckey not in _POST_CACHE:
+        _POST_CACHE[ckey] = _make_post_compact(*ckey)
 
     if staged is not None:
         cls_dev = staged
@@ -704,21 +712,31 @@ def count_matches_fused(
     cand, g4 = _FLAGS_CACHE[fkey](
         cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2"]
     )
-    counts, deep_pos, deep_id, totals = _POST_CACHE[pkey](
-        cand, g4, np.int32(vstart), np.int32(N), dev
-    )
+    gidx, totals = _POST_CACHE[ckey](cand)
     totals = np.asarray(totals)
-    if host_thread is not None:
-        host_thread.join()
     from .cascade import _DEEP_BUDGET
 
-    if (
-        totals[0] > _CAP  # a tile overflowed its candidate slots
-        or totals[1] > gb1
-        or totals[2] > gb2
-        or totals[3] > _DEEP_BUDGET
-    ):
+    if totals[0] > _CAP or totals[1] > gb1 or totals[2] > gb2:
+        if host_thread is not None:
+            host_thread.join()
         return None  # budget overflow: caller falls back to an exact engine
+
+    # verify pass sized by the ACTUAL survivor count (pow2-bucketed): a
+    # static overestimate multiplies bucket_verify's gathers by the slack
+    vbud = min(_pow2(max(int(totals[2]), 1 << 12)), gb2)
+    vkey = (max(ct.bucket_max, 1), vbud, ct.num_patterns, interp)
+    if vkey not in _POST_CACHE:
+        _POST_CACHE[vkey] = _make_post_verify(*vkey)
+    entries_dev = cand[:, :_CAP].reshape(-1)
+    counts, deep_pos, deep_id, dtot = _POST_CACHE[vkey](
+        gidx[:vbud], entries_dev, g4, np.int32(vstart), np.int32(N), dev
+    )
+    totals = np.concatenate([totals, np.asarray([dtot])])
+    if host_thread is not None:
+        host_thread.join()
+
+    if totals[3] > _DEEP_BUDGET:
+        return None
     counts = np.asarray(counts).astype(np.int64)
 
     if short_on_host and any_short:
