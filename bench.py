@@ -338,7 +338,10 @@ def run_matrix(n_patterns, n_chars, reps):
     th = A.prewarm(n_chars)
     cls = _haystack(compiled, letters, n_chars, rng)
     t0 = time.time()
-    th.join(DEVICE_DEADLINE_S / 2)
+    # cap the blocking wait: the first device op after another process
+    # releases the TPU can stall minutes (PLAN.md), and the engines warm
+    # themselves on first call anyway
+    th.join(min(DEVICE_DEADLINE_S / 2, 180))
     out["prewarm_wait_s"] = round(time.time() - t0, 2)
     log(f"[prewarm] blocking wait after haystack prep: {out['prewarm_wait_s']}s")
 

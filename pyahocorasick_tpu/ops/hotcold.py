@@ -2,8 +2,8 @@
 stride-s packed transitions + sparse host patch for the cold tail.
 
 The mid/large-dictionary scan problem (SURVEY §7 "hard parts"): the XLA HBM
-gather costs ~8 ns per lookup regardless of table size (PLAN.md), so the
-classic one-gather-per-char DFA scan is pinned at ~0.13 GB/s, and the
+gather costs ~16 ns per lookup inside a lax.scan (serial dependency chain;
+PLAN.md), so the classic one-gather-per-char DFA scan is pinned, and the
 stride-2 composed table (one gather per TWO chars, ops/stride.py) needs
 S*K^2 entries — infeasible beyond ~200k states for text alphabets.
 
@@ -35,12 +35,12 @@ This engine breaks the trade-off with a *projection automaton*:
   and deep-entry bits packed alongside the state id in one int32:
   ``entry = state | am_bits << 20 | deep_bits << (20+s)``.
 
-Cost model: ~8/s ns/char for the gathers + (entry rate)*(episode len)*host
-patch, with d chosen so the estimated entry rate n_{d+1}/K^(d+1) is tiny.
-For 100k random text patterns (K~53): d=4, s=2 → ~4 ns/char; for 100k DNA
-20-mers (K=5): d~12, s=4..5 → ~1.6-2 ns/char — both far past the stride-1
-gather wall, with a smooth curve across automaton sizes (small automatons
-are entirely hot: rate 0, no patches at all).
+Cost model: ~16/s ns/char for the gathers + (entry rate)*(episode
+len)*host patch, with d chosen so the estimated entry rate n_{d+1}/K^(d+1)
+is tiny.  For 100k random text patterns (K~53): d=4, s=2 → ~8.8 ns/char
+(measured); for 100k DNA 20-mers (K=5): d~12, s=5 → ~3.2 ns/char — both
+past the stride-1 wall, with a smooth curve across automaton sizes (small
+automatons are entirely hot: rate 0, no patches at all).
 
 Replaces the per-char hot loop of reference src/trie.c:177-194 for the
 regime between the bilinear gate (ops/scan.py) and the cascade's
@@ -60,14 +60,15 @@ from ..compiler import CompiledAutomaton
 _SB = 20  # state bits in a packed entry
 _SMASK = (1 << _SB) - 1
 
-_GATHER_NS = 8.0  # measured XLA HBM gather cost per lookup (PLAN.md)
+_GATHER_NS = 16.0  # measured IN-SCAN XLA gather cost per lookup (PLAN.md)
 _PATCH_NS = 12.0  # host patch cost per episode char (sparse C++ walk)
 
 
 def _env_bytes() -> int:
     # v5e has 16 GB HBM; the table is the only large device buffer of this
-    # engine, so a 3.2 GB default leaves ample room for the haystack + ys
-    return int(os.environ.get("PYAHOCORASICK_TPU_HOTCOLD_BYTES", 3_200_000_000))
+    # engine, so a 6 GB default leaves room for the haystack + ys while
+    # letting compact alphabets reach stride 5 (DNA: 450k states x 5^5)
+    return int(os.environ.get("PYAHOCORASICK_TPU_HOTCOLD_BYTES", 6_000_000_000))
 
 
 def _env_rate() -> float:
@@ -116,7 +117,7 @@ def plan_hotcold(
             if best is None or cost < best[0]:
                 best = (cost, d, s)
             break  # first (largest) feasible s is best for this d
-    if best is None or best[0] >= _GATHER_NS * 0.9:
+    if best is None or best[0] >= _GATHER_NS * 0.95:
         return None
     return best[1], best[2]
 
