@@ -229,8 +229,15 @@ def count_matches(
     global _jax_failed
     engine = _forced()
     N = int(cls.size)
-    if engine == "fused":
-        # the fused Pallas flag kernel (ops/fused.py); falls through to the
+    if engine == "fused" or (
+        engine == "auto"
+        and N >= _JAX_MIN
+        and not _jax_failed
+        and _device_backend()
+        and not _small_table(compiled)
+    ):
+        # the fused Pallas flag kernel (ops/fused.py) — measured 1.4x the
+        # cascade at 100k patterns (PLAN.md r3); falls through to the
         # cascade/classic chain when gated or over budget
         try:
             from . import native
@@ -243,7 +250,8 @@ def count_matches(
                 return res
         except ImportError:
             _jax_failed = True
-        engine = "auto"
+        if engine == "fused":
+            engine = "auto"
     if engine == "cascade" or (
         engine == "auto"
         and N >= _JAX_MIN
