@@ -109,14 +109,17 @@ def plan_hotcold(
             tbytes = S_hot * (K**s) * 4
             if tbytes > budget:
                 continue
+            # random-gather cost grows with table footprint past ~1 GB
+            # (measured r3: ~16 ns at <=0.3 GB, ~21 at 1.9 GB, ~65 at
+            # 4.4 GB) — bigger stride is NOT free once the table balloons
+            gather_ns = _GATHER_NS + 8.0 * max(0.0, tbytes / 1e9 - 1.0) ** 2
             cost = (
-                _GATHER_NS / s
+                gather_ns / s
                 + rate * (d + 4) * _PATCH_NS
                 + 0.3 * tbytes / budget  # prefer smaller tables on ties
             )
             if best is None or cost < best[0]:
                 best = (cost, d, s)
-            break  # first (largest) feasible s is best for this d
     if best is None or best[0] >= _GATHER_NS * 0.95:
         return None
     return best[1], best[2]
