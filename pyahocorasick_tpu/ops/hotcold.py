@@ -99,8 +99,11 @@ def plan_hotcold(
         if S_hot > (1 << _SB):
             break
         n_next = int(ls[d + 2] - ls[d + 1]) if d + 2 < len(ls) else 0
-        # uniform-char estimate of P(position is a deep entry)
-        rate = n_next / float(K ** min(d + 1, 30)) if n_next else 0.0
+        # uniform-char estimate of P(position is a deep entry); class 0
+        # ("not in alphabet") rarely occurs in real haystacks, so the
+        # effective alphabet is K-1 (for DNA the difference is 18x at d=12)
+        Ke = max(K - 1, 1)
+        rate = n_next / float(Ke ** min(d + 1, 30)) if n_next else 0.0
         if rate > max_rate:
             continue
         for s in (5, 4, 3, 2):
@@ -113,9 +116,16 @@ def plan_hotcold(
             # (measured r3: ~16 ns at <=0.3 GB, ~21 at 1.9 GB, ~65 at
             # 4.4 GB) — bigger stride is NOT free once the table balloons
             gather_ns = _GATHER_NS + 8.0 * max(0.0, tbytes / 1e9 - 1.0) ** 2
+            # deep-plane compaction: the level-2 pass touches
+            # nplane * 4 * p32 elements at ~16 ns (gather+scatter); at
+            # dense deep rates this dominated the DNA bench (measured
+            # ~2.8 ns/char at a 0.6% group rate)
+            p32 = 1.0 - (1.0 - min(rate * s, 1.0)) ** 32
+            comp_ns = 4.0 * p32 * 16.0 / s
             cost = (
                 gather_ns / s
                 + rate * (d + 4) * _PATCH_NS
+                + comp_ns
                 + 0.3 * tbytes / budget  # prefer smaller tables on ties
             )
             if best is None or cost < best[0]:
@@ -443,7 +453,8 @@ def _deep_budgets(compiled, ht, nplane: int):
     estimate (x4 safety, pow2 so the compiled shape set stays bounded)."""
     ls = np.asarray(compiled.level_starts)
     n_next = int(ls[ht.d + 2] - ls[ht.d + 1]) if ht.d + 2 < len(ls) else 0
-    rate = n_next / float(ht.K ** min(ht.d + 1, 30)) if n_next else 0.0
+    Ke = max(ht.K - 1, 1)  # class 0 rarely occurs (see plan_hotcold)
+    rate = n_next / float(Ke ** min(ht.d + 1, 30)) if n_next else 0.0
     r_group = min(1.0, rate * ht.s)
     bud1 = min(
         _pow2(nplane // 32),
