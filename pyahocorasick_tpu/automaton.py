@@ -554,16 +554,7 @@ class Automaton:
         compiled = self._ensure_compiled()
         letters = self._marshal_haystack(string)
         cls = compiled.classes_of(letters).astype(np.int32)
-        if cls.size >= engines._JAX_MIN and not engines._jax_failed:
-            try:
-                from .ops import stride
-
-                total = stride.count_total_stride2(compiled, cls)
-                if total is not None:
-                    return total
-            except ImportError:
-                pass
-        return int(engines.count_matches(compiled, cls).sum())
+        return engines.count_total(compiled, cls)
 
     def prewarm(self, n_chars_hint=1 << 27, mode="counts"):
         """Start compiling/loading the device scan programs in a background

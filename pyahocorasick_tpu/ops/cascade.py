@@ -375,9 +375,15 @@ def _bucket_verify(d, ep, eg4, cvalid, g4, counts, P, bucket_max, cbud):
         cid = jnp.take(d["cand_id"], ci, mode="clip")
         sp = ep - cl + 4  # end of the match's first 4-gram
         inb = live & (sp >= 3)
-        okstart = inb & (
-            jnp.take(g4, jnp.maximum(sp, 0), mode="clip") == cs4
+        # g4 may be the materialized code array or a position->code callable
+        # (the fused v4 kernel builds g4 in-kernel and never materializes the
+        # full stream; its verify recomputes codes from 4 cls gathers)
+        g4v = (
+            g4(jnp.maximum(sp, 0))
+            if callable(g4)
+            else jnp.take(g4, jnp.maximum(sp, 0), mode="clip")
         )
+        okstart = inb & (g4v == cs4)
         is4 = okstart & (cl == 4)
         counts = counts.at[jnp.where(is4, cid, P)].add(1, mode="drop")
         isdeep = okstart & (cl >= 5)

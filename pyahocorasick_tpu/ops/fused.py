@@ -48,7 +48,7 @@ _WBITS_BF16 = 8  # bf16 mantissa: 8 exact bits/word
 # tiles with one useful column — 128x HBM padding (measured: 8 GB for a 64 MB
 # stream) — so every stream here is (1, n) row-major and every table operand
 # is pre-transposed to (128, rows).
-_TILE = 2048
+_TILE = int(os.environ.get("PYAHOCORASICK_TPU_FUSED_TILE", 4096))
 _OVERLAP = 128
 
 
@@ -120,6 +120,11 @@ class FusedTables:
     ):
         self.ok = False
         if not (ct.ok and ct.has4):
+            return
+        # the kernel packs candidate entries as g4_code | kind << 24: only
+        # collision-free while g4 codes fit 24 bits (cascade._MAX_K == 64
+        # makes K**4 <= 2**24; a future _MAX_K bump must widen the packing)
+        if ct.K ** 4 > 1 << 24:
             return
         r1 = r1 or int(os.environ.get("PYAHOCORASICK_TPU_B1_ROWS", 256))
         if r1 & (r1 - 1):
@@ -277,31 +282,60 @@ def _kernel_bloom(tabT_val, u_row, mult: int, wbits: int):
     return hit & 1
 
 
-_CAP = 128           # per-tile candidate slots (compacted in-kernel)
-_OUT_W = 2 * _CAP    # [0:CAP] packed candidates, [CAP:2CAP] per-tile count
+_CAP = int(os.environ.get("PYAHOCORASICK_TPU_FUSED_CAP", 256))
+# final (post-stage-2) survivors are compacted IN-KERNEL a second time, to
+# _FIN slots per tile (measured final rate ~1.5e-3/char -> ~3 per 2048-tile;
+# a tile overflowing _FIN returns None and the caller falls back), so the
+# XLA post only assembles n_tiles*_FIN values — the round-4 v4 post's
+# two-level compaction over n_tiles*_CAP entries cost ~1.4 ns/char in
+# XLA gathers (measured), dwarfing the kernel itself.
+_FIN = int(os.environ.get("PYAHOCORASICK_TPU_FUSED_FIN", 16))
+_OUT_W = 4 * _FIN    # [pos(F) | code(F) | fin_cnt(F) | s1_cnt(F)]
 
 
-def _make_flags_kernel(r1: int, r4: int, tile: int, ov: int,
-                       has5: bool, has_w4: bool):
-    """One-pass fused kernel: stage-1 blooms on the full (1, n) lane stream,
-    lane-axis compaction of the survivors (log-shift prefix sum + onehot
-    select-reduce — Mosaic has no vector gather, but a 0/1 multiply-reduce
-    is one), stage-2 blooms on the <=CAP compacted candidates, and a packed
-    per-tile candidate list as output.  The XLA post thus only ever touches
-    final-rate (~1e-4) survivors — the 48 ns/char full-stream hierarchical
-    compaction of v2 (measured) disappears.
+def _make_flags_kernel(K: int, r1: int, r4: int, tile: int, ov: int,
+                       has5: bool, has_w4: bool, cap: int = _CAP,
+                       fin_slots: int = _FIN):
+    """One-pass fused kernel: g4 codes built IN-KERNEL from the raw class
+    stream (two lane rolls — the round-3 XLA prep of pads/multiplies over
+    the full 134M-char stream measured ~1.5 ns/char, dwarfing the kernel's
+    own 2.3; tools/probe_fused_stages.py), stage-1 blooms on the full
+    (1, n) lane stream, lane-axis compaction of the survivors (log-shift
+    prefix sum + onehot select-reduce — Mosaic has no vector gather, but a
+    0/1 multiply-reduce is one), stage-2 blooms on the <=CAP compacted
+    candidates, and a packed per-tile candidate list as output.  The XLA
+    post thus only ever touches final-rate (~1e-4) survivors.
 
     Stage-1 deep test: the three bf16 B1 splits share ONE hash/onehot and
     are stacked on sublanes, so one (384, r1) @ (r1, n) MXU contraction
-    fetches all 24 bloom bits; the suf&sufb AND rides a one-lane roll."""
+    fetches all 24 bloom bits; the suf&sufb AND rides a one-lane roll.
+    (A premultiplied single-block f32 table at Precision.HIGHEST measured
+    1.7x SLOWER than the 3-split — probe r4 's1f32' — so bf16 stays.)"""
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = tile + ov
+    K2 = K * K
 
-    def kernel(b1T_ref, w4T_ref, s2_ref, g4_ref, ov_ref, out_ref):
-        g = jnp.concatenate([ov_ref[0], g4_ref[0]], axis=1)  # (1, n)
+    def kernel(b1T_ref, w4T_ref, s2_ref, cls_ref, prev_ref, out_ref):
+        # prev_ref is the PREVIOUS tile's block (same array, index map
+        # t-1): its last `ov` lanes are the overlap history.  Tile 0 sees
+        # its own block there — i.e. garbage history — but g4 codes only
+        # reach back 3 chars and candidate positions < 3 are masked in the
+        # verify, so garbage can only create false candidates (verified
+        # away), never lose true ones.
+        ovc = jax.lax.slice(prev_ref[0], (0, tile - ov), (1, tile))
+        c = jnp.concatenate([ovc, cls_ref[0]], axis=1).astype(
+            jnp.int32
+        )  # (1, n) class stream
+        # last-4-gram codes via lane rolls; lanes < 3 see wrapped garbage,
+        # but candidate positions are masked to lane >= ov (>= 3) below and
+        # the global first tile's ov block is zero-padded by the caller
+        # (matching the zero-history g4 the XLA prep produced in v3)
+        g2 = pltpu.roll(c, 1, axis=1) * K + c
+        g = pltpu.roll(g2, 2, axis=1) * K2 + g2  # (1, n) g4 codes
         u = g.astype(jnp.uint32)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
         zero_row = jnp.zeros((1, n), jnp.int32)
@@ -365,16 +399,16 @@ def _make_flags_kernel(r1: int, r4: int, tile: int, ov: int,
         hit = ((kind > 0) & (lane >= ov)).astype(jnp.int32)
 
         # ---- lane-axis inclusive prefix sum (Hillis-Steele via rolls)
-        c = hit
+        cs = hit
         k = 1
         while k < n:
-            c = c + jnp.where(lane >= k, pltpu.roll(c, k, axis=1), 0)
+            cs = cs + jnp.where(lane >= k, pltpu.roll(cs, k, axis=1), 0)
             k <<= 1
-        slot = c - 1
-        total = jax.lax.slice(c, (0, n - 1), (1, n))  # (1, 1)
+        slot = cs - 1
+        total = jax.lax.slice(cs, (0, n - 1), (1, n))  # (1, 1)
 
         # ---- compact to sublanes: (CAP, n) onehot select-reduce
-        iota_cap = jax.lax.broadcasted_iota(jnp.int32, (_CAP, n), 0)
+        iota_cap = jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
         seli = ((slot == iota_cap) & (hit > 0)).astype(jnp.int32)
 
         def pick(vals_1n):  # (1, n) int32 -> (CAP, 1)
@@ -394,13 +428,13 @@ def _make_flags_kernel(r1: int, r4: int, tile: int, ov: int,
             wv, bb = _hash_parts_dev(uu, mult, rows * 128, _WBITS_BF16)
             av = wv >> 7
             cv = wv & 127
-            iota_rows = jax.lax.broadcasted_iota(jnp.int32, (_CAP, rows), 1)
+            iota_rows = jax.lax.broadcasted_iota(jnp.int32, (cap, rows), 1)
             ohv = (av == iota_rows).astype(tab.dtype)
             rv = jax.lax.dot_general(
                 ohv, tab, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (CAP, 128)
-            iota_l = jax.lax.broadcasted_iota(jnp.int32, (_CAP, 128), 1)
+            iota_l = jax.lax.broadcasted_iota(jnp.int32, (cap, 128), 1)
             wordv = (
                 jnp.where(cv == iota_l, rv, 0.0)
                 .sum(axis=1, keepdims=True)
@@ -421,31 +455,67 @@ def _make_flags_kernel(r1: int, r4: int, tile: int, ov: int,
                 & bloom_col(s2_ref[3], upv, _M3)
             )
         else:
-            d2 = jnp.zeros((_CAP, 1), jnp.int32)
+            d2 = jnp.zeros((cap, 1), jnp.int32)
         if has_w4:
             w2b = bloom_col(s2_ref[4], u2, _M3)
         else:
-            w2b = jnp.zeros((_CAP, 1), jnp.int32)
+            w2b = jnp.zeros((cap, 1), jnp.int32)
         kd = cand_kind & 1
         kw = (cand_kind >> 1) & 1
         fin = cand_valid * ((kd & d2) | (kw & w2b))
 
-        entry = (cand_pos & 0x7FF) | (cand_kind << 11) | (fin << 13)
-
-        # ---- (CAP, 1) -> (1, CAP) diag extract; append the total count
+        # ---- (CAP, 1) -> (1, CAP) diag extract of the final survivors
         eye = (
-            jax.lax.broadcasted_iota(jnp.int32, (_CAP, _CAP), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (_CAP, _CAP), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
         ).astype(jnp.int32)
-        row = (eye * entry).sum(axis=0, keepdims=True)  # (1, CAP)
-        cnt = jnp.broadcast_to(total, (1, _CAP))
-        out_ref[0] = jnp.concatenate([row, cnt], axis=1)  # (1, 2*CAP)
+        gpos = cand_pos + pl.program_id(0) * tile  # global end positions
+        prow = (eye * gpos).sum(axis=0, keepdims=True)  # (1, CAP)
+        crow = (eye * cand_code).sum(axis=0, keepdims=True)
+        frow = (eye * fin).sum(axis=0, keepdims=True)
+
+        # ---- second in-tile compaction: fin survivors -> _FIN row slots
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+        cs2 = frow
+        k = 1
+        while k < cap:
+            cs2 = cs2 + jnp.where(
+                lane_c >= k, pltpu.roll(cs2, k, axis=1), 0
+            )
+            k <<= 1
+        slot2 = cs2 - 1
+        fin_cnt = jax.lax.slice(cs2, (0, cap - 1), (1, cap))  # (1, 1)
+        iota_f = jax.lax.broadcasted_iota(jnp.int32, (fin_slots, cap), 0)
+        sel2 = ((slot2 == iota_f) & (frow > 0)).astype(jnp.int32)
+        pcol = (sel2 * prow).sum(axis=1, keepdims=True)  # (fin_slots, 1)
+        ccol = (sel2 * crow).sum(axis=1, keepdims=True)
+        # mark empty slots with -1 positions
+        vcol = (sel2 * jnp.ones((1, cap), jnp.int32)).sum(
+            axis=1, keepdims=True
+        )
+        pcol = jnp.where(vcol > 0, pcol, -1)
+        eyef = (
+            jax.lax.broadcasted_iota(jnp.int32, (fin_slots, fin_slots), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (fin_slots, fin_slots), 1)
+        ).astype(jnp.int32)
+        prow2 = (eyef * pcol).sum(axis=0, keepdims=True)  # (1, fin_slots)
+        crow2 = (eyef * ccol).sum(axis=0, keepdims=True)
+        out_ref[0] = jnp.concatenate(
+            [
+                prow2,
+                crow2,
+                jnp.broadcast_to(fin_cnt, (1, fin_slots)),
+                jnp.broadcast_to(total, (1, fin_slots)),
+            ],
+            axis=1,
+        )  # (1, 4*fin_slots)
 
     return kernel
 
 
-def _flags_call(r1: int, r4: int, r2s: int, tile: int, ov: int, n_tiles: int,
-                has5: bool, has_w4: bool, interpret: bool):
+def _flags_call(K: int, r1: int, r4: int, r2s: int, tile: int, ov: int,
+                n_tiles: int, has5: bool, has_w4: bool, interpret: bool,
+                cap: int = _CAP, fin_slots: int = _FIN):
     """One GRIDDED pallas_call over all tiles: a single compiled kernel with
     a hardware-managed grid loop.  (The v1 wrapper mapped a per-tile kernel
     with lax.map — a map-of-kernel pipeline whose remote compile exceeds 25
@@ -455,7 +525,8 @@ def _flags_call(r1: int, r4: int, r2s: int, tile: int, ov: int, n_tiles: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = _make_flags_kernel(r1, r4, tile, ov, has5, has_w4)
+    kernel = _make_flags_kernel(K, r1, r4, tile, ov, has5, has_w4, cap,
+                                fin_slots)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -464,10 +535,18 @@ def _flags_call(r1: int, r4: int, r2s: int, tile: int, ov: int, n_tiles: int,
             pl.BlockSpec((128, r4), lambda t: (0, 0)),
             pl.BlockSpec((5, r2s, 128), lambda t: (0, 0, 0)),
             pl.BlockSpec((1, 1, tile), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, 1, ov), lambda t: (t, 0, 0)),
+            # previous tile of the SAME class array (overlap history);
+            # building a shifted ovmat in XLA cost two full-stream passes
+            pl.BlockSpec(
+                (1, 1, tile), lambda t: (jnp.maximum(t - 1, 0), 0, 0)
+            ),
         ],
-        out_specs=pl.BlockSpec((1, 1, _OUT_W), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, _OUT_W), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (1, 1, 4 * fin_slots), lambda t: (t, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, 1, 4 * fin_slots), jnp.int32
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
@@ -482,101 +561,90 @@ def _use_interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# XLA pipeline: g4 codes -> gridded kernel (flags + in-kernel compaction +
-# stage-2) -> budget-sized global compaction -> exact S4/bucket verify
+# XLA pipeline (v5): raw classes -> gridded kernel (in-kernel g4 + flags +
+# stage-1 compaction + stage-2 + SECOND in-tile compaction to _FIN slots)
+# -> one cheap cumsum+scatter assembly of the survivor positions/codes in
+# the SAME jit (the v4 two-level gather compaction over n_tiles*_CAP
+# entries measured ~1.4 ns/char) -> exact S4/bucket verify on a tightly
+# sized buffer (sized from the measured per-automaton survivor rate after
+# the first call, speculative dispatch — verify cost scales with budget
+# slack, measured 436 ns/slot).
 
 
 def _make_flags_fn(K: int, r1: int, r4: int, r2s: int, n_tiles: int,
-                   has5: bool, has_w4: bool, interpret: bool):
-    """jit: int8 classes -> (cand (n_tiles, OUT_W), g4 codes (N,))."""
+                   vbuf: int, fin_slots: int, has5: bool, has_w4: bool,
+                   interpret: bool):
+    """jit: int8 classes (padded to n_tiles*_TILE) ->
+    (posbuf (vbuf,), codebuf (vbuf,), totals[s1_max, fin_max, total])."""
     import jax
     import jax.numpy as jnp
 
-    T, OV = _TILE, _OVERLAP
-    K2, K3 = K * K, K * K * K
-    call = _flags_call(r1, r4, r2s, T, OV, n_tiles, has5, has_w4, interpret)
+    T, OV, F = _TILE, _OVERLAP, fin_slots
+    call = _flags_call(K, r1, r4, r2s, T, OV, n_tiles, has5, has_w4,
+                       interpret, _CAP, fin_slots)
 
     def fn(cls_i8, b1T_tab, w4T_tab, s2_tab):
-        N = cls_i8.shape[0]  # == n_tiles * T
-        cls = cls_i8.astype(jnp.int32)
-        c1 = jnp.pad(cls, (1, 0))[:N]
-        c2 = jnp.pad(cls, (2, 0))[:N]
-        c3 = jnp.pad(cls, (3, 0))[:N]
-        g4 = c3 * K3 + c2 * K2 + c1 * K + cls
-        g4pad = jnp.pad(g4, (OV, 0))
-        # ov codes preceding tile t = g4pad[t*T : t*T+OV]
-        ovmat = g4pad[:N].reshape(n_tiles, 1, T)[:, :, :OV]
-        cand = call(
-            b1T_tab, w4T_tab, s2_tab, g4.reshape(n_tiles, 1, T), ovmat
-        ).reshape(n_tiles, _OUT_W)
-        return cand, g4
+        cls3 = cls_i8.reshape(n_tiles, 1, T)
+        cand = call(b1T_tab, w4T_tab, s2_tab, cls3, cls3).reshape(
+            n_tiles, 4 * F
+        )
+        pos_t = cand[:, :F]
+        code_t = cand[:, F: 2 * F]
+        fcnt = jnp.minimum(cand[:, 2 * F], F)
+        s1max = cand[:, 3 * F].max()
+        fmax = cand[:, 2 * F].max()
+        csum = jnp.cumsum(fcnt)
+        total = csum[-1]
+        off = csum - fcnt
+        j = jnp.arange(F, dtype=jnp.int32)[None, :]
+        valid = j < fcnt[:, None]
+        dst = jnp.where(valid, off[:, None] + j, vbuf)
+        posbuf = (
+            jnp.full((vbuf + 1,), -1, jnp.int32)
+            .at[dst.reshape(-1)]
+            .set(jnp.where(valid, pos_t, -1).reshape(-1), mode="drop")
+        )[:vbuf]
+        codebuf = (
+            jnp.zeros((vbuf + 1,), jnp.int32)
+            .at[dst.reshape(-1)]
+            .set(jnp.where(valid, code_t, 0).reshape(-1), mode="drop")
+        )[:vbuf]
+        return posbuf, codebuf, jnp.stack([s1max, fmax, total])
 
     return jax.jit(fn)
 
 
-def _make_post_compact(gb1, gb2, interpret):
-    """jit: cand -> (gbuf, totals[ovf_max, t1, t2]).  Two budget-sized
-    compaction levels over the kernel's final-candidate flags; the verify
-    pass is a SEPARATE dispatch sized by the actual survivor count (a
-    static overestimate here would multiply bucket_verify's gather count
-    by the budget slack — measured 30+ ns/char at a 524k budget)."""
-    import jax
-    import jax.numpy as jnp
-
-    from .cascade import _compact
-
-    def fn(cand):
-        ovf = cand[:, _CAP].max()  # any per-tile count > CAP => fallback
-        entries = cand[:, :_CAP].reshape(-1)
-        fin = (entries >> 13) & 1
-        m = entries.shape[0]
-        pad = (-m) % 32
-        f = jnp.pad(fin, (0, pad))
-        nblk = f.shape[0] // 32
-        blk = (f.reshape(nblk, 32).max(axis=1) > 0).astype(jnp.int32)
-        b1, t1 = _compact(blk, gb1)
-        bval = b1 >= 0
-        idx32 = (
-            jnp.maximum(b1, 0)[:, None] * 32
-            + jnp.arange(32, dtype=jnp.int32)[None, :]
-        )
-        sub = (
-            jnp.take(f, idx32.reshape(-1), mode="clip").reshape(-1, 32)
-            * bval[:, None]
-        )
-        b2, t2 = _compact(sub.reshape(-1), gb2)
-        gidx = jnp.where(
-            b2 >= 0,
-            jnp.take(idx32.reshape(-1), jnp.maximum(b2, 0), mode="clip"),
-            -1,
-        )
-        return gidx, jnp.stack([ovf, t1, t2])
-
-    return jax.jit(fn)
-
-
-def _make_post_verify(bucket_max, vbud, P, interpret):
-    """jit: (gidx_slice, entries, g4, vstart, n_valid, d) ->
+def _make_post_verify(K, bucket_max, vbud, P, interpret):
+    """jit: (posbuf_slice, codebuf_slice, cls_i8, vstart, n_valid, d) ->
     (counts, deep_pos, deep_id, dtot).  Runs the exact S4/bucket
-    verification on the tightly-sized survivor list."""
+    verification on the (speculatively) sized survivor list; g4 codes at
+    candidate positions come from the kernel's code output, and the match-
+    start codes are recomputed from 4 class gathers (the full g4 stream is
+    never materialized since v4)."""
     import jax
     import jax.numpy as jnp
 
     from .cascade import _DEEP_BUDGET, _bucket_verify, _compact
 
-    def fn(gidx, entries, g4, vstart, n_valid, d):
+    def fn(posbuf, codebuf, cls_i8, vstart, n_valid, d):
         counts = jnp.zeros((P + 1,), jnp.int32)
-        v = gidx >= 0
-        iv = jnp.maximum(gidx, 0)
-        m = entries.shape[0]
-        e = jnp.take(entries, jnp.minimum(iv, m - 1), mode="clip")
-        tile_i = iv // _CAP
-        ep = tile_i * _TILE + (e & 0x7FF)
-        cval = v & (ep >= jnp.maximum(vstart, 3)) & (ep < n_valid)
-        eg4 = jnp.take(g4, jnp.minimum(ep, n_valid - 1), mode="clip")
+        ep = posbuf
+        cval = (ep >= jnp.maximum(vstart, 3)) & (ep < n_valid)
+        eg4 = codebuf
+
+        def g4_of(pos):
+            def cc(q):
+                return jnp.take(
+                    cls_i8, jnp.clip(q, 0, n_valid - 1), mode="clip"
+                ).astype(jnp.int32)
+
+            return (
+                ((cc(pos - 3) * K + cc(pos - 2)) * K + cc(pos - 1)) * K
+                + cc(pos)
+            )
 
         counts, deep_flag, deep_ids = _bucket_verify(
-            d, ep, eg4, cval, g4, counts, P, bucket_max, vbud
+            d, ep, eg4, cval, g4_of, counts, P, bucket_max, vbud
         )
         dbuf, dtot = _compact(deep_flag.reshape(-1), _DEEP_BUDGET)
         dvalid = dbuf >= 0
@@ -600,22 +668,39 @@ def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
-def _budgets(n_tiles: int, ft, ct, K: int):
-    """Global-compaction budgets for the FINAL (post-stage-2) candidates:
-    measured bloom false-positive rate plus an estimate of the true
-    candidate rate (l4 patterns + correlated deep-suffix pairs), x4 safety,
-    pow2 so the compiled post-program set stays bounded."""
-    m = n_tiles * _CAP
-    N = n_tiles * _TILE
+def _true_rate(ct, K: int) -> float:
+    """Estimated TRUE candidate rate on uniform text: l4 pattern hits plus
+    correlated deep-suffix pairs (shared by _budgets and the speculative
+    verify sizing)."""
     k4 = float(K) ** 4
-    true_rate = ct.codes_w4.size / k4 + 50.0 * (
+    # the suf/sufb pair correlation factor is measured: actual survivor
+    # rate at the 100k-pattern bench dictionary is ~4.6x the independence
+    # product (round-4 probe); 8x keeps headroom without the 50x round-3
+    # guess that inflated every budget ~5x (and with it the verify cost)
+    return ct.codes_w4.size / k4 + 8.0 * (
         (ct.codes_suf.size / k4) * (ct.codes_sufb.size / k4)
     )
-    rate = ft.fin_est + true_rate
-    gb2 = min(_pow2(m), max(1 << 15, _pow2(N * rate * 4)))
-    p32 = 1.0 - (1.0 - min(rate * _TILE / _CAP, 1.0)) ** 32
-    gb1 = min(_pow2(-(-m // 32)), max(1 << 12, _pow2(m / 32 * p32 * 4)))
-    return gb1, gb2
+
+
+def _fin_slots_for(ft, ct, K: int) -> int:
+    """Per-tile final-survivor slots: sparse dictionaries (the 100k-text
+    bench: ~3 survivors per 2048-tile) use the cheap minimum; dense-match
+    dictionaries (small alphabets / short patterns, where true candidates
+    are plentiful) scale up to _CAP so the engine still engages."""
+    mu = (ft.fin_est + _true_rate(ct, K)) * (_TILE + _OVERLAP)
+    need = _pow2(int(mu + 5.0 * (mu**0.5) + 1))
+    return max(_FIN, min(_CAP, need))
+
+
+def _vbuf_budget(n_tiles: int, ft, ct, K: int, fin_slots: int) -> int:
+    """Static size of the survivor assembly buffer: estimated final rate
+    (measured bloom fp + true-candidate estimate) with 8x headroom, pow2 so
+    the compiled program set stays bounded.  Slack here costs only scatter
+    buffer bytes (unlike the verify budget, whose cost scales with it)."""
+    m = n_tiles * fin_slots
+    N = n_tiles * _TILE
+    rate = ft.fin_est + _true_rate(ct, K)
+    return min(_pow2(m), max(1 << 15, _pow2(N * rate * 8)))
 
 
 def _bucket_tiles(n_tiles: int) -> int:
@@ -668,21 +753,26 @@ def count_matches_fused(
     # compiled flag programs at <= 25% padding waste)
     n_tiles = _bucket_tiles(-(-N // _TILE))
     Npad = n_tiles * _TILE
-    gb1, gb2 = _budgets(n_tiles, ft, ct, compiled.num_classes)
+    K = compiled.num_classes
+    # per-tile slot / buffer sizing: estimates, escalated (and remembered
+    # on the automaton) when an input's true-match density overflows them
+    fin_slots = max(
+        _fin_slots_for(ft, ct, K), compiled._cache.get("fused_fin", 0)
+    )
+    vbuf = max(
+        _vbuf_budget(n_tiles, ft, ct, K, fin_slots),
+        min(_pow2(n_tiles * fin_slots),
+            compiled._cache.get("fused_vbuf", 0)),
+    )
 
     interp = _use_interpret()
-    fkey = (
-        compiled.num_classes, ft.r1, ft.r4, ft.r2s, n_tiles,
-        ft.has5, ft.has_w4, interp,
-    )
+    fkey = (K, ft.r1, ft.r4, ft.r2s, n_tiles, vbuf, fin_slots,
+            ft.has5, ft.has_w4, interp)
     if fkey not in _FLAGS_CACHE:
         from ..utils.compile_cache import ensure_compile_cache
 
         ensure_compile_cache()
         _FLAGS_CACHE[fkey] = _make_flags_fn(*fkey)
-    ckey = (gb1, gb2, interp)
-    if ckey not in _POST_CACHE:
-        _POST_CACHE[ckey] = _make_post_compact(*ckey)
 
     if staged is not None:
         cls_dev = staged
@@ -709,28 +799,68 @@ def count_matches_fused(
         host_thread = threading.Thread(target=_host_hist)
         host_thread.start()
 
-    cand, g4 = _FLAGS_CACHE[fkey](
+    posbuf, codebuf, totals_dev = _FLAGS_CACHE[fkey](
         cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2"]
     )
-    gidx, totals = _POST_CACHE[ckey](cand)
-    totals = np.asarray(totals)
     from .cascade import _DEEP_BUDGET
 
-    if totals[0] > _CAP or totals[1] > gb1 or totals[2] > gb2:
+    # Verify sizing: the verify's cost scales with its budget (measured
+    # ~436 ns/slot incl. slack), so size from the MEASURED survivor rate of
+    # earlier calls on this automaton when available (bench reps and
+    # chunked streaming hit this path), else the build-time estimate; the
+    # speculative dispatch avoids a totals round trip, and a miss
+    # re-dispatches once at the actual pow2-rounded count.
+    rate_meas = compiled._cache.get("fused_rate")
+    if rate_meas is not None:
+        est = rate_meas * 1.05  # pow2 rounding supplies the real headroom
+    else:
+        est = (ft.fin_est + _true_rate(ct, K)) * 4
+    vbud = min(max(_pow2(int(est * Npad)), 1 << 13), vbuf)
+
+    def _verify(vb):
+        vkey = (K, max(ct.bucket_max, 1), vb, ct.num_patterns, interp)
+        if vkey not in _POST_CACHE:
+            _POST_CACHE[vkey] = _make_post_verify(*vkey)
+        return _POST_CACHE[vkey](
+            posbuf[:vb], codebuf[:vb], cls_dev, np.int32(vstart),
+            np.int32(N), dev
+        )
+
+    counts, deep_pos, deep_id, dtot = _verify(vbud)
+    totals = np.asarray(totals_dev)
+
+    if totals[0] > _CAP or totals[1] > fin_slots or totals[2] > vbuf:
         if host_thread is not None:
             host_thread.join()
-        return None  # budget overflow: caller falls back to an exact engine
-
-    # verify pass sized by the ACTUAL survivor count (pow2-bucketed): a
-    # static overestimate multiplies bucket_verify's gathers by the slack
-    vbud = min(_pow2(max(int(totals[2]), 1 << 12)), gb2)
-    vkey = (max(ct.bucket_max, 1), vbud, ct.num_patterns, interp)
-    if vkey not in _POST_CACHE:
-        _POST_CACHE[vkey] = _make_post_verify(*vkey)
-    entries_dev = cand[:, :_CAP].reshape(-1)
-    counts, deep_pos, deep_id, dtot = _POST_CACHE[vkey](
-        gidx[:vbud], entries_dev, g4, np.int32(vstart), np.int32(N), dev
+        # fin-slot / assembly-buffer overflow: escalate (once per level,
+        # remembered on the automaton) and re-run; stage-1 CAP overflow has
+        # no escalation — that automaton/input needs the cascade
+        if totals[0] <= _CAP:
+            retry = False
+            if totals[1] > fin_slots and fin_slots < _CAP:
+                compiled._cache["fused_fin"] = min(
+                    _pow2(int(totals[1]) * 2), _CAP
+                )
+                retry = True
+            if totals[2] > vbuf:
+                nv = _pow2(int(totals[2]) * 2)
+                if nv <= _pow2(n_tiles * _CAP):
+                    compiled._cache["fused_vbuf"] = nv
+                    retry = True
+            if retry:
+                return count_matches_fused(
+                    compiled, cls, halo, staged, short_on_host
+                )
+        return None  # slot/budget overflow: caller falls back (exactness)
+    compiled._cache["fused_rate"] = max(
+        float(totals[2]) / max(Npad, 1), rate_meas or 0.0
     )
+    if totals[2] > vbud:
+        # speculation too small (rare: rate far above the estimate) — run
+        # the verify again at the actual pow2-rounded survivor count
+        vbud = min(_pow2(max(int(totals[2]), 1 << 12)), vbuf)
+        counts, deep_pos, deep_id, dtot = _verify(vbud)
+
     totals = np.concatenate([totals, np.asarray([dtot])])
     if host_thread is not None:
         host_thread.join()
