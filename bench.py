@@ -200,14 +200,42 @@ def bench_small(n_chars, reps, rng):
 
 
 def bench_dna(n_patterns, n_chars, reps, rng):
-    """100k 20-mer guides over ACGT: hot/cold stride-4 scan (falls back to
-    the stride-2 packed counts when no hot/cold plan is feasible)."""
-    from pyahocorasick_tpu.ops import stride
+    """100k 20-mer guides over ACGT: fixed-length fingerprint kernel
+    (ops/fixedlen.py), falling back to the hot/cold stride-4 scan and then
+    the stride-2 packed counts."""
+    from pyahocorasick_tpu.ops import fixedlen, stride
 
     import jax.numpy as jnp
 
     _, compiled, letters = _build("dna", n_patterns, rng)
     cls = _haystack(compiled, letters, n_chars, rng)
+
+    ftab = fixedlen.build_fixedlen_tables(compiled)
+    if ftab is None:
+        log("[dna] fixedlen tables gated at build")
+    if ftab is not None:
+        Npad = (
+            fixedlen._f._bucket_tiles(-(-n_chars // fixedlen._TILE))
+            * fixedlen._TILE
+        )
+        pad = np.zeros(Npad, np.int8)
+        pad[:n_chars] = cls
+        staged = jnp.asarray(pad)
+
+        def run():
+            return fixedlen.count_matches_fixedlen(
+                compiled, cls, staged=staged
+            )
+
+        first, cold, best = _time_best(run, reps)
+        if first is not None:
+            gbps = n_chars / best / 1e9
+            log(
+                f"[dna] fixedlen cold {cold:.2f}s, best {best*1e3:.1f} ms "
+                f"-> {gbps:.3f} GB/s, total {int(first.sum())}"
+            )
+            return gbps, cold
+        log("[dna] fixedlen gated at runtime; falling back")
 
     r = bench_hotcold(compiled, cls, n_chars, reps, label="dna")
     if r is not None:

@@ -420,7 +420,10 @@ def _make_flags_kernel(K: int, r1: int, r4: int, tile: int, ov: int,
         cand_pos = pick(lane - ov)
         cand_code = cand_ck & 0xFFFFFF
         cand_kind = cand_ck >> 24
-        cand_valid = pick(hit)
+        # slot i occupied iff i < total (slots fill in prefix order):
+        # cheaper than a fourth (cap, n) pick
+        iota_col = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+        cand_valid = (iota_col < total).astype(jnp.int32)
 
         # ---- stage 2 on the compacted candidates (column-major blooms)
         def bloom_col(tab, uu, mult):

@@ -109,6 +109,12 @@ def plan_hotcold(
         for s in (5, 4, 3, 2):
             if _SB + 2 * s > 31:
                 continue
+            if S_hot * (K**s) >= 1 << 31:
+                # the device gather index st*Ks + c is int32: a larger
+                # table would silently wrap and corrupt the scan (reachable
+                # only by raising PYAHOCORASICK_TPU_HOTCOLD_BYTES past
+                # ~8.5 GB; ADVICE r3)
+                continue
             tbytes = S_hot * (K**s) * 4
             if tbytes > budget:
                 continue
@@ -724,9 +730,16 @@ def hotcold_count_matches(
         plane, pc_dev[warm:], init, ht.device_hot1(),
         ht.K, ht.s, ht.S_hot, bud1m, bud2m,
     )
+    def _bail():
+        # join the host short-count thread on EVERY exit path (an early
+        # budget-overflow return previously left it running; ADVICE r3)
+        if short_thread is not None:
+            short_thread.join()
+        return None
+
     totals_m = np.asarray(totals_m)
     if totals_m[0] > bud1m or totals_m[1] > bud2m:
-        return None
+        return _bail()
 
     counts = np.zeros(P, np.int64)
     rows, ids = _hot_csr(compiled, ht)
@@ -737,7 +750,7 @@ def hotcold_count_matches(
     gidx, totals = compact_deep(plane, ht.s, bud1, bud2)
     totals = np.asarray(totals)
     if totals[0] > bud1 or totals[1] > bud2:
-        return None
+        return _bail()
     nd = int(totals[1])
     gidx_host = (
         np.asarray(gidx[: _pow2(max(nd, 1))]) if nd else np.empty(0, np.int64)
@@ -750,6 +763,12 @@ def hotcold_count_matches(
     if short_thread is not None:
         short_thread.join()
         if "counts" not in short_box:
+            # a MemoryError degrades to the fallback chain; anything else
+            # is a real bug in the host histogram — surface it instead of
+            # silently returning engine-gated (ADVICE r3)
+            err = short_box.get("error")
+            if err is not None and not isinstance(err, MemoryError):
+                raise err
             return None
         counts += short_box["counts"]
     return counts

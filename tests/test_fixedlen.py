@@ -1,0 +1,159 @@
+"""Differential tests for the fixed-length fingerprint engine
+(ops/fixedlen.py) — the BASELINE "CRISPR guides over DNA" specialization.
+
+On CPU the kernel runs in pallas interpret mode (same math, no Mosaic):
+these validate the segment-code / fingerprint construction, the host-device
+hash mirror, bloom gating, per-tile slot escalation and the exact host
+verification against the sequential oracle.  TPU-compiled parity runs in
+bench.py over the same code path.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import pyahocorasick_tpu as ahocorasick
+from pyahocorasick_tpu import engines
+from pyahocorasick_tpu.ops import fixedlen
+
+
+def _build(words):
+    A = ahocorasick.Automaton()
+    for i, w in enumerate(words):
+        A.add_word(w, i)
+    A.make_automaton()
+    return A._compiled
+
+
+def _cls(compiled, s):
+    return compiled.classes_of(
+        np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    ).astype(np.int32)
+
+
+def _counts(compiled, hay, halo=None):
+    c = _cls(compiled, hay)
+    h = _cls(compiled, halo) if halo is not None else None
+    return fixedlen.count_matches_fixedlen(compiled, c, h)
+
+
+def _oracle(compiled, hay, halo=None):
+    c = _cls(compiled, hay)
+    h = _cls(compiled, halo) if halo is not None else None
+    return engines.count_matches(compiled, c, h)
+
+
+def _dna_words(rng, n, L=20):
+    return sorted(
+        {"".join(rng.choice("acgt") for _ in range(L)) for _ in range(n)}
+    )
+
+
+def test_fixedlen_dna_matches_oracle():
+    rng = random.Random(7)
+    words = _dna_words(rng, 300)
+    compiled = _build(words)
+    # embed some true matches in random text
+    hay = "".join(rng.choice("acgt") for _ in range(4000))
+    for w in words[:10]:
+        p = rng.randrange(len(hay) - 20)
+        hay = hay[:p] + w + hay[p + 20:]
+    got = _counts(compiled, hay)
+    assert got is not None, "fixedlen engine unexpectedly gated"
+    assert np.array_equal(got, _oracle(compiled, hay))
+    assert got.sum() >= 10
+
+
+def test_fixedlen_halo_boundary():
+    rng = random.Random(8)
+    words = _dna_words(rng, 100)
+    compiled = _build(words)
+    halo = "".join(rng.choice("acgt") for _ in range(64)) + words[0][:11]
+    hay = words[0][11:] + "".join(rng.choice("acgt") for _ in range(3000))
+    got = _counts(compiled, hay, halo)
+    assert got is not None
+    want = _oracle(compiled, hay, halo)
+    assert np.array_equal(got, want)
+    assert got[compiled.values.index(0) if False else 0] >= 0  # smoke
+    # the straddling match must be counted exactly once
+    assert got.sum() == want.sum() >= 1
+
+
+def test_fixedlen_gates_on_mixed_lengths():
+    compiled = _build(["acgtacgt", "acgtacgta"])  # two lengths
+    assert fixedlen.build_fixedlen_tables(compiled) is None
+    assert _counts(compiled, "acgtacgtacgt") is None
+
+
+def test_fixedlen_gates_on_short_patterns():
+    compiled = _build(["acg", "gta"])  # below _MIN_LEN
+    assert fixedlen.build_fixedlen_tables(compiled) is None
+
+
+def test_fixedlen_text_alphabet():
+    # fixed length over a wide alphabet (K ~ 30): g shrinks to 4
+    rng = random.Random(9)
+    letters = "abcdefghijklmnopqrstuvwxyz_."
+    words = sorted(
+        {
+            "".join(rng.choice(letters) for _ in range(9))
+            for _ in range(200)
+        }
+    )
+    compiled = _build(words)
+    hay = "".join(rng.choice(letters) for _ in range(3000))
+    for w in words[:5]:
+        p = rng.randrange(len(hay) - 9)
+        hay = hay[:p] + w + hay[p + 9:]
+    got = _counts(compiled, hay)
+    assert got is not None
+    assert np.array_equal(got, _oracle(compiled, hay))
+
+
+def test_fixedlen_dense_true_matches_escalate():
+    # a haystack that is one pattern repeated: every L-th position matches;
+    # per-tile fin slots must escalate (or the engine returns None) — never
+    # a wrong count
+    rng = random.Random(10)
+    words = _dna_words(rng, 50)
+    compiled = _build(words)
+    hay = words[0] * 150 + "".join(rng.choice("acgt") for _ in range(500))
+    got = _counts(compiled, hay)
+    if got is not None:
+        assert np.array_equal(got, _oracle(compiled, hay))
+        assert got.sum() >= 150
+
+
+def test_fixedlen_repeated_calls_reuse_rate_cache():
+    rng = random.Random(11)
+    words = _dna_words(rng, 120)
+    compiled = _build(words)
+    hay = "".join(rng.choice("acgt") for _ in range(3000))
+    a = _counts(compiled, hay)
+    b = _counts(compiled, hay)
+    assert a is not None and b is not None
+    assert np.array_equal(a, b)
+    assert "fixedlen_rate" in compiled._cache
+
+
+def test_fixedlen_engine_in_auto_chain(monkeypatch):
+    rng = random.Random(12)
+    # enough patterns that the automaton exceeds the small-table gate
+    # (below it the bilinear MXU scan correctly outranks every cascade)
+    words = _dna_words(rng, 3000)
+    compiled = _build(words)
+    # the auto chain only schedules the device engines on an accelerator
+    # backend; tests run on CPU, so force that predicate
+    monkeypatch.setattr(engines, "_device_backend", lambda: True)
+    chain = engines.plan_chain(compiled, 1 << 20, "counts")
+    assert "fixedlen" in chain
+    assert chain.index("fixedlen") < chain.index("fused")
+
+
+def test_fixedlen_empty_and_tiny_inputs():
+    rng = random.Random(13)
+    words = _dna_words(rng, 30)
+    compiled = _build(words)
+    assert _counts(compiled, "").sum() == 0
+    assert _counts(compiled, "acgt").sum() == 0  # shorter than L
