@@ -93,6 +93,18 @@ def _haystack(compiled, letters, n_chars, rng):
     return compiled.classes_of(hay.astype(np.uint32)).astype(np.int32)
 
 
+def _stage(arr):
+    """Device-put with a forced completion: jnp.asarray is async, so an
+    unforced staging transfer (536 MB of int32 at ~45 MB/s relay = 12 s,
+    measured) lands inside the first timed call and masquerades as compile
+    time.  (block_until_ready does not block through the relay — fetch.)"""
+    import jax.numpy as jnp
+
+    d = jnp.asarray(arr)
+    np.asarray(d.ravel()[:1])
+    return d
+
+
 def _time_best(fn, reps):
     t0 = time.time()
     first = fn()
@@ -108,7 +120,8 @@ def _time_best(fn, reps):
 # --------------------------------------------------------------- sub-benches
 
 
-def bench_counts(compiled, cls, n_chars, reps, engine):
+def bench_counts(compiled, cls, n_chars, reps, engine, best_ns=None,
+                 left_s=None):
     """Exact per-pattern counts via the cascade, fused, or hotcold engine;
     returns (GB/s, cold_s) or None when gated."""
     import jax.numpy as jnp
@@ -116,11 +129,32 @@ def bench_counts(compiled, cls, n_chars, reps, engine):
     if engine == "hotcold":
         from pyahocorasick_tpu.ops import hotcold
 
+        pf = hotcold.plan_hotcold(compiled, full=True)
+        if pf is None:
+            log("[hotcold-counts] no feasible plan")
+            return None
+        cost_ns, d, s, tbytes = pf
+        # skip when a measured engine already beats the MODEL, or when the
+        # table build alone would eat the remaining matrix budget (round-3
+        # burned 544 s building a table for a losing 0.079 GB/s; VERDICT)
+        if best_ns is not None and cost_ns >= best_ns:
+            log(
+                f"[hotcold-counts] skipped: modeled {cost_ns:.1f} ns/char "
+                f">= measured best {best_ns:.1f}"
+            )
+            return None
+        est_build = tbytes / 60e6  # measured table-build ~60-100 MB/s
+        if left_s is not None and est_build > left_s * 0.4:
+            log(
+                f"[hotcold-counts] skipped: est. build {est_build:.0f}s "
+                f"vs {left_s:.0f}s budget left"
+            )
+            return None
         ht = hotcold.build_hotcold(compiled)
         if ht is None:
             return None
         codes_tl, warm, B = hotcold.prepare_hotcold_input(compiled, ht, cls)
-        hc_staged = (jnp.asarray(codes_tl), warm, B)
+        hc_staged = (_stage(codes_tl), warm, B)
 
         def run():
             return hotcold.hotcold_count_matches(
@@ -136,14 +170,14 @@ def bench_counts(compiled, cls, n_chars, reps, engine):
         )
         return n_chars / best / 1e9, cold
 
-    staged = jnp.asarray(np.ascontiguousarray(cls.astype(np.int8)))
+    staged = _stage(np.ascontiguousarray(cls.astype(np.int8)))
     if engine == "fused":
         from pyahocorasick_tpu.ops import fused
 
         Npad = fused._bucket_tiles(-(-n_chars // fused._TILE)) * fused._TILE
         pad = np.zeros(Npad, np.int8)
         pad[:n_chars] = cls
-        staged = jnp.asarray(pad)
+        staged = _stage(pad)
 
         def run():
             return fused.count_matches_fused(
@@ -183,7 +217,7 @@ def bench_small(n_chars, reps, rng):
     cls = _haystack(compiled, letters, n_chars, rng)
     assert jax_scan.small_table_ok(compiled)
     cls_tl, B = jax_scan.prepare_scan_input(compiled, cls, block=1024)
-    dev = jnp.asarray(cls_tl)
+    dev = _stage(cls_tl)
     H = max(int(compiled.longest_word), 1)
     tab = jax_scan._bilinear_signed_table(compiled)
 
@@ -220,7 +254,7 @@ def bench_dna(n_patterns, n_chars, reps, rng):
         )
         pad = np.zeros(Npad, np.int8)
         pad[:n_chars] = cls
-        staged = jnp.asarray(pad)
+        staged = _stage(pad)
 
         def run():
             return fixedlen.count_matches_fixedlen(
@@ -244,7 +278,7 @@ def bench_dna(n_patterns, n_chars, reps, rng):
     s2 = stride.build_stride2(compiled)
     log(f"[dna] stride2 table: {'ok' if s2 else 'infeasible'}")
     cls2_tl, H2 = stride.prepare_stride2_input(compiled, cls)
-    staged = (jnp.asarray(cls2_tl), H2)
+    staged = (_stage(cls2_tl), H2)
 
     def run():
         return stride.count_total_stride2(compiled, cls, device_input=staged)
@@ -267,7 +301,7 @@ def bench_scan_raw(compiled, cls, n_chars, reps):
     H = max(int(compiled.longest_word), 1)
     B = jax_scan.choose_block(n_chars, H)
     cls_tl, B = jax_scan.prepare_scan_input(compiled, cls, block=B)
-    dev = jnp.asarray(cls_tl)
+    dev = _stage(cls_tl)
     tabs = jax_scan._device_tables(compiled)
 
     def run():
@@ -283,7 +317,8 @@ def bench_scan_raw(compiled, cls, n_chars, reps):
     return gbps, cold
 
 
-def bench_hotcold(compiled, cls, n_chars, reps, label="hotcold"):
+def bench_hotcold(compiled, cls, n_chars, reps, label="hotcold",
+                  left_s=None):
     """Exact scan via the hot/cold projection-automaton engine: short-match
     positions counted on device, deep matches patched on host (overlapped
     inside hotcold_scan).  Returns (GB/s, cold_s, build_s) or None."""
@@ -291,6 +326,17 @@ def bench_hotcold(compiled, cls, n_chars, reps, label="hotcold"):
 
     from pyahocorasick_tpu.ops import hotcold
 
+    if left_s is not None:
+        pf = hotcold.plan_hotcold(compiled, full=True)
+        if pf is None:
+            log(f"[{label}] no feasible plan")
+            return None
+        if pf[3] / 60e6 > left_s * 0.4:  # table build ~60-100 MB/s
+            log(
+                f"[{label}] skipped: est. build {pf[3]/60e6:.0f}s vs "
+                f"{left_s:.0f}s budget left"
+            )
+            return None
     t0 = time.time()
     ht = hotcold.build_hotcold(compiled)
     build_s = time.time() - t0
@@ -302,7 +348,7 @@ def bench_hotcold(compiled, cls, n_chars, reps, label="hotcold"):
         f"table={ht.table.nbytes/1e9:.2f}GB (built {build_s:.1f}s)"
     )
     codes_tl, warm, B = hotcold.prepare_hotcold_input(compiled, ht, cls)
-    staged = (jnp.asarray(codes_tl), warm, B)
+    staged = (_stage(codes_tl), warm, B)
 
     def run():
         return hotcold.hotcold_scan(compiled, cls, staged=staged)
@@ -334,7 +380,7 @@ def bench_scan_mid(n_chars, reps, rng):
         log("[scan_mid] stride2 infeasible")
         return None
     cls2_tl, H2 = stride.prepare_stride2_input(compiled, cls)
-    staged = (jnp.asarray(cls2_tl), H2)
+    staged = (_stage(cls2_tl), H2)
 
     def run():
         return stride.count_total_stride2(compiled, cls, device_input=staged)
@@ -380,8 +426,16 @@ def run_matrix(n_patterns, n_chars, reps):
     for engine in ("fused", "cascade", "hotcold"):
         if engine in skip or left() < 60:
             continue
+        best_gbps = max(
+            (out.get(f"{e}_GBps", 0.0) for e in ("fused", "cascade")),
+            default=0.0,
+        )
+        best_ns = 1.0 / best_gbps if best_gbps else None
         try:
-            r = bench_counts(compiled, cls, n_chars, reps, engine)
+            r = bench_counts(
+                compiled, cls, n_chars, reps, engine,
+                best_ns=best_ns, left_s=left(),
+            )
         except Exception as e:  # noqa: BLE001
             log(f"[{engine}] failed: {e!r}")
             r = None
@@ -390,6 +444,37 @@ def run_matrix(n_patterns, n_chars, reps):
             out[f"{key}_GBps"], out[f"{key}_cold_s"] = round(r[0], 4), round(
                 r[1], 2
             )
+
+    # 1b. full (end, pattern_id) emission in reference order — the
+    # reference's flagship semantic (src/AutomatonSearchIter.c:157-300)
+    if left() > 90 and "emit" not in skip:
+        try:
+            import jax.numpy as jnp
+
+            from pyahocorasick_tpu.ops import cascade_emit
+
+            staged = _stage(cls.astype(np.int8))
+
+            def erun():
+                return cascade_emit.emit_matches_cascade(
+                    compiled, cls, staged=staged
+                )
+
+            first, cold, best = _time_best(erun, reps)
+            if first is not None:
+                g = n_chars / best / 1e9
+                out["emit_GBps"], out["emit_cold_s"] = round(g, 4), round(
+                    cold, 2
+                )
+                out["emit_matches"] = int(first[0].size)
+                log(
+                    f"[emit] cold {cold:.2f}s, best {best*1e3:.1f} ms -> "
+                    f"{g:.3f} GB/s ({out['emit_matches']} matches)"
+                )
+            else:
+                log("[emit] cascade emission gated")
+        except Exception as e:  # noqa: BLE001
+            log(f"[emit] failed: {e!r}")
 
     # 2. small dictionary (bilinear MXU scan)
     if left() > 60:
@@ -413,7 +498,7 @@ def run_matrix(n_patterns, n_chars, reps):
     #    deep matches host-patched)
     if left() > 120:
         try:
-            r = bench_hotcold(compiled, cls, n_chars, reps)
+            r = bench_hotcold(compiled, cls, n_chars, reps, left_s=left())
             if r:
                 out["scan_GBps"], out["scan_cold_s"] = round(r[0], 4), round(
                     r[1], 2

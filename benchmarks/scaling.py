@@ -18,10 +18,22 @@ printed as one JSON line per mesh size:
     {"devices": N, "mode": "counts", "seconds": s, "GBps": g,
      "efficiency_vs_1dev": e}
 
+Each JSON line also carries a DECOMPOSITION (VERDICT r3 item 8): the
+wall-clock of the same per-shard input on ONE device (`shard_local_s`, the
+perfect-scaling compute floor), the residual attributed to collectives +
+mesh synchronization (`comm_sync_fraction`), the analytic collective
+volume (`comm_bytes`: ring-allreduce of the (P,) counts / allgather of the
+match stream), and `projected_efficiency_real_hw` — per-chip scan time
+from SCALE_CHIP_GBPS (default 0.25, the measured single-chip fused rate)
+against SCALE_ICI_GBPS (default 45 GB/s/link, v5e 1D ring) — so the
+harness says something about scaling STRUCTURE before hardware shows up.
+
 Env knobs: SCALE_PATTERNS (default 2000), SCALE_CHARS (default 2^22),
-SCALE_REPS (default 3), SCALE_MODES (counts,emit).
+SCALE_REPS (default 3), SCALE_MODES (counts,emit), SCALE_CHIP_GBPS,
+SCALE_ICI_GBPS.
 """
 
+import argparse
 import json
 import os
 import string
@@ -35,7 +47,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _parse_args():
+    ap = argparse.ArgumentParser(
+        description="Multi-device scaling harness for pyahocorasick_tpu",
+        epilog=(
+            "Real hardware: run on a multi-chip host with the TPU backend "
+            "active — `python benchmarks/scaling.py` (no XLA_FLAGS); the "
+            "mesh sizes sweep 1..len(jax.devices()).  Multi-host: launch "
+            "one process per host with jax.distributed (see "
+            "pyahocorasick_tpu/parallel/multihost.py) and aggregate the "
+            "per-host JSON lines.  Virtual correctness rig (no TPU): "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+            "JAX_PLATFORMS=cpu python benchmarks/scaling.py"
+        ),
+    )
+    ap.parse_args()
+
+
 def main():
+    _parse_args()
     n_patterns = int(os.environ.get("SCALE_PATTERNS", 2000))
     n_chars = int(os.environ.get("SCALE_CHARS", 1 << 22))
     reps = int(os.environ.get("SCALE_REPS", 3))
@@ -88,17 +118,57 @@ def main():
             times = []
             for _ in range(reps):
                 t0 = time.time()
-                run()
+                r = run()
                 times.append(time.time() - t0)
             best = min(times)
             gbps = n_chars / best / 1e9
             key = mode
             if nd == 1:
                 base[key] = best
+
+            # --- decomposition: per-shard compute floor on ONE device
+            # (perfect scaling) vs the sharded wall; the residual is
+            # collectives + mesh synchronization on this backend
+            shard_chars = n_chars // nd
+            shard_lets = lets[:shard_chars]
+            mesh1 = make_mesh(n_pattern=1, n_data=1, devices=devices[:1])
+            sa1 = ShardedAutomaton([compiled], mesh1)
+
+            def run_local():
+                if mode == "counts":
+                    return sa1.count_matches(shard_lets)
+                return sa1.search(shard_lets)
+
+            run_local()
+            lt = []
+            for _ in range(reps):
+                t0 = time.time()
+                run_local()
+                lt.append(time.time() - t0)
+            shard_local = min(lt)
+            comm_sync_fraction = max(0.0, 1.0 - shard_local / best)
+
+            # --- analytic collective volume + real-HW projection
+            P = compiled.num_patterns
+            if mode == "counts":
+                comm_bytes = int(2 * (nd - 1) / max(nd, 1) * P * 8)
+            else:
+                nmatch = (
+                    int(np.asarray(r[0]).size) if isinstance(r, tuple) else 0
+                )
+                comm_bytes = int((nd - 1) / max(nd, 1) * nmatch * 16)
+            chip_gbps = float(os.environ.get("SCALE_CHIP_GBPS", 0.25))
+            ici_gbps = float(os.environ.get("SCALE_ICI_GBPS", 45.0))
+            t_chip = shard_chars / (chip_gbps * 1e9)
+            t_comm = comm_bytes / (ici_gbps * 1e9) + 5e-6 * max(nd - 1, 0)
+            proj_eff = t_chip / (t_chip + t_comm) if nd > 1 else 1.0
+
             eff = base[key] / (best * nd) if key in base else float("nan")
             log(
                 f"{mode}: {nd} device(s) {best*1e3:8.1f} ms "
-                f"{gbps:6.3f} GB/s  eff={eff:5.1%}"
+                f"{gbps:6.3f} GB/s  eff={eff:5.1%}  "
+                f"comm+sync={comm_sync_fraction:5.1%}  "
+                f"proj_real_hw={proj_eff:5.1%}"
             )
             print(
                 json.dumps(
@@ -108,6 +178,12 @@ def main():
                         "seconds": round(best, 5),
                         "GBps": round(gbps, 4),
                         "efficiency_vs_1dev": round(eff, 4),
+                        "shard_local_s": round(shard_local, 5),
+                        "comm_sync_fraction": round(comm_sync_fraction, 4),
+                        "comm_bytes": comm_bytes,
+                        "projected_efficiency_real_hw": round(proj_eff, 4),
+                        "chip_GBps_assumed": chip_gbps,
+                        "ici_GBps_assumed": ici_gbps,
                         "backend": jax.default_backend(),
                         "virtual_mesh": jax.default_backend() == "cpu",
                     }

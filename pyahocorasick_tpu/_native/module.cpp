@@ -194,6 +194,52 @@ PyObject* m_find_eow(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     return PyLong_FromLongLong(aho_trie_find_eow(t, w.data, w.len));
 }
 
+// Hot-path fusion for Automaton.add_word (head-to-head parity with the
+// reference's all-C src/Automaton.c:201-300): one FASTCALL does the trie
+// insert AND the values-dict store, returning the new-word bool — the
+// round-3 Python wrapper paid a tuple build/unpack plus a bytecode dict
+// store per call (measured 1.24x the reference on 1M adds).
+// args: (capsule, key_str, values_dict, value) -> True iff new word
+PyObject* m_add_word_store(PyObject*, PyObject* const* args,
+                           Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Letters w;
+    if (!w.from_unicode(args[1])) return NULL;
+    int64_t node = -1;
+    PyObject* r = guarded([&]() {
+        node = aho_trie_add_word(t, w.data, w.len);
+        return PyBool_FromLong(aho_trie_last_new(t));
+    });
+    if (!r) return NULL;
+    PyObject* nid = PyLong_FromLongLong(node);
+    if (!nid) { Py_DECREF(r); return NULL; }
+    int rc = PyDict_SetItem(args[2], nid, args[3]);
+    Py_DECREF(nid);
+    if (rc < 0) { Py_DECREF(r); return NULL; }
+    return r;
+}
+
+// Hot-path fusion for Automaton.get: find the end-of-word node and fetch
+// its value from the values dict in one call.  args: (capsule, key_str,
+// values_dict[, default]) -> value; raises KeyError without a default.
+PyObject* m_get_value(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    Trie* t = get_trie(args[0]);
+    Letters w;
+    if (!w.from_unicode(args[1])) return NULL;
+    int64_t node = aho_trie_find_eow(t, w.data, w.len);
+    if (node >= 0) {
+        PyObject* nid = PyLong_FromLongLong(node);
+        if (!nid) return NULL;
+        PyObject* v = PyDict_GetItemWithError(args[2], nid);
+        Py_DECREF(nid);
+        if (v) { Py_INCREF(v); return v; }
+        if (PyErr_Occurred()) return NULL;
+    }
+    if (nargs >= 4) { Py_INCREF(args[3]); return args[3]; }
+    PyErr_SetNone(PyExc_KeyError);
+    return NULL;
+}
+
 PyObject* m_find_eow_buf(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     Trie* t = get_trie(args[0]);
     Py_buffer view;
@@ -824,6 +870,8 @@ PyMethodDef methods[] = {
     {"find", (PyCFunction)(void*)m_find, METH_FASTCALL, ""},
     {"find_buf", (PyCFunction)(void*)m_find_buf, METH_FASTCALL, ""},
     {"find_eow", (PyCFunction)(void*)m_find_eow, METH_FASTCALL, ""},
+    {"add_word_store", (PyCFunction)(void*)m_add_word_store, METH_FASTCALL, ""},
+    {"get_value", (PyCFunction)(void*)m_get_value, METH_FASTCALL, ""},
     {"find_eow_buf", (PyCFunction)(void*)m_find_eow_buf, METH_FASTCALL, ""},
     {"remove_word", (PyCFunction)(void*)m_remove_word, METH_FASTCALL, ""},
     {"remove_word_buf", (PyCFunction)(void*)m_remove_word_buf, METH_FASTCALL, ""},

@@ -855,9 +855,13 @@ def count_matches_fused(
                     compiled, cls, halo, staged, short_on_host
                 )
         return None  # slot/budget overflow: caller falls back (exactness)
-    compiled._cache["fused_rate"] = max(
-        float(totals[2]) / max(Npad, 1), rate_meas or 0.0
-    )
+    if totals[2] > 0:
+        # a zero-candidate run (e.g. the all-zeros prewarm input) must not
+        # poison the measured rate: it would shrink the next speculative
+        # verify budget and force a re-dispatch on the first real corpus
+        compiled._cache["fused_rate"] = max(
+            float(totals[2]) / max(Npad, 1), rate_meas or 0.0
+        )
     if totals[2] > vbud:
         # speculation too small (rare: rate far above the estimate) — run
         # the verify again at the actual pow2-rounded survivor count

@@ -79,9 +79,14 @@ def plan_hotcold(
     compiled: CompiledAutomaton,
     budget: int | None = None,
     max_rate: float | None = None,
+    full: bool = False,
 ):
     """Choose (d, s): depth cutoff and stride, minimizing the modeled
-    ns/char; None when no feasible configuration beats the stride-1 wall."""
+    ns/char; None when no feasible configuration beats the stride-1 wall.
+    With ``full=True`` returns (cost_ns_per_char, d, s, table_bytes) so
+    callers (the bench matrix) can skip the engine when another engine
+    already beats the model, or when the table build would blow the time
+    budget (r3: a 544 s build for a losing 0.079 GB/s; VERDICT item 3)."""
     budget = budget or _env_bytes()
     max_rate = max_rate if max_rate is not None else _env_rate()
     ls = np.asarray(compiled.level_starts)
@@ -135,9 +140,11 @@ def plan_hotcold(
                 + 0.3 * tbytes / budget  # prefer smaller tables on ties
             )
             if best is None or cost < best[0]:
-                best = (cost, d, s)
+                best = (cost, d, s, tbytes)
     if best is None or best[0] >= _GATHER_NS * 0.95:
         return None
+    if full:
+        return best
     return best[1], best[2]
 
 

@@ -59,7 +59,7 @@ def _blocked_scan_jit(delta_flat, cls_tl, K: int, H: int, B: int):
     init = jnp.zeros((L,), dtype=jnp.int32)
 
     def step(states, cls_t):
-        nxt = delta_flat[states * K + cls_t]
+        nxt = delta_flat[states * K + cls_t.astype(jnp.int32)]
         return nxt, nxt
 
     _, seq = jax.lax.scan(step, init, cls_tl)
@@ -74,7 +74,7 @@ def _blocked_scan_final_jit(delta_flat, cls_tl, K: int, H: int, B: int):
     init = jnp.zeros((L,), dtype=jnp.int32)
 
     def step(states, cls_t):
-        return delta_flat[states * K + cls_t], ()
+        return delta_flat[states * K + cls_t.astype(jnp.int32)], ()
 
     fin, _ = jax.lax.scan(step, init, cls_tl)
     return fin
@@ -106,7 +106,9 @@ def _blocked_scan_signed_jit(delta_signed_flat, cls_tl, K: int, H: int, B: int):
     L = cls_tl.shape[1]
 
     def step(states, cls_t):
-        nxt = delta_signed_flat[(states & 0x7FFFFFFF) * K + cls_t]
+        nxt = delta_signed_flat[
+            (states & 0x7FFFFFFF) * K + cls_t.astype(jnp.int32)
+        ]
         return nxt, nxt
 
     init = jnp.zeros((L,), dtype=jnp.int32)
@@ -162,7 +164,7 @@ def _blocked_scan_signed_bilinear_jit(tab, cls_tl, K: int, H: int, B: int):
     L = cls_tl.shape[1]
 
     def step(states, cls_t):
-        w = _bilinear_word(tab, states * K + cls_t)
+        w = _bilinear_word(tab, states * K + cls_t.astype(jnp.int32))
         nxt = w & 0x7FFFFF
         signed = jnp.where(
             (w >> 23) > 0, nxt | jnp.int32(-2147483648), nxt
@@ -213,7 +215,13 @@ def prepare_scan_input(
     L = -(-N // B)
     Lp = max(_round_up_pow2(L), 32)
 
-    ext = np.zeros(H + Lp * B, dtype=np.int32)
+    # smallest dtype that holds the class ids: the staging transfer rides
+    # a ~45 MB/s relay (536 MB of int32 at 134M chars measured 12 s, and
+    # async staging lands it inside the first timed call); the scan jits
+    # widen per step on device
+    K = compiled.num_classes
+    dt = np.int8 if K <= 127 else (np.int16 if K <= 32767 else np.int32)
+    ext = np.zeros(H + Lp * B, dtype=dt)
     if halo is not None and halo.size:
         h = halo[-H:]
         ext[H - h.size : H] = h
@@ -311,7 +319,7 @@ def _blocked_count_jit(
     init = jnp.zeros((L,), dtype=jnp.int32)
 
     def step(states, cls_t):
-        nxt = delta_flat[states * K + cls_t]
+        nxt = delta_flat[states * K + cls_t.astype(jnp.int32)]
         return nxt, nxt
 
     _, seq = jax.lax.scan(step, init, cls_tl)

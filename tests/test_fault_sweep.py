@@ -209,3 +209,118 @@ def test_unpickle_alloc_faults(tmp_path):
             pass
         finally:
             ext._alloc_fail_arm(-1)
+
+
+# ---------------------------------------------------------------------------
+# Python-call fault sweep: the analog of the reference's pycallfault rig
+# (src/pycallfault/pycallfault.h:5-59, runtest.sh:246-266), which fails the
+# Nth wrapped C-API call across its suite.  Here the Nth PYTHON-LEVEL
+# operation the library performs on user-supplied objects raises — value
+# dunders (__reduce__ in pickle, __eq__/__hash__, __index__ for STORE_INTS
+# marshalling), the find_all callback, and the save/load serializer
+# callables.  Contract: the injected exception propagates cleanly (its own
+# type, not a crash or a swallowed pass), every object stays usable, and a
+# disarmed rerun is exact.
+
+
+class _PyCallCounter:
+    def __init__(self):
+        self.n = 0
+        self.fail_at = -1
+
+    def tick(self):
+        self.n += 1
+        if self.n == self.fail_at:
+            raise _InjectedFault(f"injected python-call fault at #{self.n}")
+
+
+class _InjectedFault(RuntimeError):
+    pass
+
+
+_CTR = _PyCallCounter()
+
+
+class _Val:
+    """User value whose every dunder the library might invoke is counted."""
+
+    def __init__(self, i):
+        self.i = i
+
+    def __reduce__(self):
+        _CTR.tick()
+        return (_Val, (self.i,))
+
+    def __eq__(self, other):
+        _CTR.tick()
+        return isinstance(other, _Val) and other.i == self.i
+
+    def __hash__(self):
+        _CTR.tick()
+        return hash(self.i)
+
+    def __index__(self):
+        _CTR.tick()
+        return self.i
+
+
+def _counting_serializer(obj):
+    _CTR.tick()
+    return pickle.dumps(obj)
+
+
+def _counting_deserializer(blob):
+    _CTR.tick()
+    return pickle.loads(blob)
+
+
+def _pycall_workload(tmp_path):
+    words = _words()
+    A = ahocorasick.Automaton()
+    for i, w in enumerate(words):
+        A.add_word(w, _Val(i))
+    assert A.get(words[3]) == _Val(3)          # __eq__
+    B_ints = ahocorasick.Automaton(ahocorasick.STORE_INTS)
+    for i, w in enumerate(words[:20]):
+        B_ints.add_word(w, _Val(i + 1))        # __index__ marshalling
+    A.make_automaton()
+    hay = "abcdefabcdeffedcba" * 8
+    matches = list(A.iter(hay))
+    got_fa = []
+    A.find_all(hay, lambda i, v: (_CTR.tick(), got_fa.append((i, v))))
+    assert got_fa == matches                   # callback + __eq__ per value
+    blob = pickle.dumps(A)                     # __reduce__ per value
+    C = pickle.loads(blob)
+    assert list(C.iter(hay)) == matches
+    path = str(tmp_path / "pycall.autsave")
+    A.save(path, _counting_serializer)         # counted serializer
+    D = ahocorasick.load(path, _counting_deserializer)
+    assert list(D.iter(hay)) == matches
+    return (len(matches), len(got_fa), sorted(B_ints.values()))
+
+
+def test_pycall_fault_sweep(tmp_path):
+    _CTR.fail_at = -1
+    _CTR.n = 0
+    want = _pycall_workload(tmp_path)
+    total = _CTR.n
+    assert total > 50, total
+
+    step = max(total // 120, 1)
+    hit = 0
+    for n in range(1, total + 1, step):
+        _CTR.n = 0
+        _CTR.fail_at = n
+        try:
+            got = _pycall_workload(tmp_path)
+            assert got == want
+        except _InjectedFault:
+            hit += 1
+        except AssertionError:
+            raise
+        finally:
+            _CTR.fail_at = -1
+        # after every injected failure the API must still work end to end
+        _CTR.n = 0
+        assert _pycall_workload(tmp_path) == want
+    assert hit > 0, "sweep never hit a python-level call site"
