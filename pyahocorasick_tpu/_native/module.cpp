@@ -34,13 +34,46 @@ PyObject* guarded(F&& f) {
 
 constexpr const char* kCapsuleName = "pyahocorasick_tpu._native.trie";
 
+// The capsule owns the core trie PLUS the Python value store: one strong
+// PyObject* per node id (dense vector — node ids are arena indices).  The
+// reference stores the value pointer inside its C node (src/trienode.h);
+// keeping values host-side in a Python dict cost ~0.3 us per add/get in
+// PyLong boxing + dict ops (measured head-to-head, round 4).  Values that
+// participate in reference cycles through the automaton are not traversed
+// by the GC (the capsule is opaque) — same trade-off as the reference's
+// pre-tp_traverse versions.
+struct PyTrie {
+    Trie t;
+    std::vector<PyObject*> vals;
+
+    void val_set(int64_t nid, PyObject* v) {
+        if ((size_t)nid >= vals.size()) vals.resize((size_t)nid + 1, nullptr);
+        Py_XDECREF(vals[(size_t)nid]);
+        Py_INCREF(v);
+        vals[(size_t)nid] = v;
+    }
+    PyObject* val_peek(int64_t nid) const {
+        if (nid < 0 || (size_t)nid >= vals.size()) return nullptr;
+        return vals[(size_t)nid];
+    }
+    void val_clear_all() {
+        for (PyObject* v : vals) Py_XDECREF(v);
+        vals.clear();
+    }
+    ~PyTrie() { val_clear_all(); }
+};
+
 Trie* get_trie(PyObject* cap) {
-    return static_cast<Trie*>(PyCapsule_GetPointer(cap, kCapsuleName));
+    return &static_cast<PyTrie*>(PyCapsule_GetPointer(cap, kCapsuleName))->t;
 }
 
 void capsule_destructor(PyObject* cap) {
-    Trie* t = static_cast<Trie*>(PyCapsule_GetPointer(cap, kCapsuleName));
+    PyTrie* t = static_cast<PyTrie*>(PyCapsule_GetPointer(cap, kCapsuleName));
     delete t;
+}
+
+PyTrie* get_pytrie(PyObject* cap) {
+    return static_cast<PyTrie*>(PyCapsule_GetPointer(cap, kCapsuleName));
 }
 
 // Extract letters from a str into a stack/heap buffer.  Returns false and
@@ -98,11 +131,13 @@ bool get_u32_buffer(PyObject* obj, Py_buffer* view) {
 // ---------------------------------------------------------------- methods
 
 PyObject* m_new(PyObject*, PyObject*) {
-    return PyCapsule_New(new Trie(), kCapsuleName, capsule_destructor);
+    return PyCapsule_New(new PyTrie(), kCapsuleName, capsule_destructor);
 }
 
 PyObject* m_clear(PyObject*, PyObject* cap) {
-    aho_trie_clear(get_trie(cap));
+    PyTrie* pt = get_pytrie(cap);
+    aho_trie_clear(&pt->t);
+    pt->val_clear_all();
     Py_RETURN_NONE;
 }
 
@@ -199,45 +234,65 @@ PyObject* m_find_eow(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
 // insert AND the values-dict store, returning the new-word bool — the
 // round-3 Python wrapper paid a tuple build/unpack plus a bytecode dict
 // store per call (measured 1.24x the reference on 1M adds).
-// args: (capsule, key_str, values_dict, value) -> True iff new word
+// args: (capsule, key_str, value) -> True iff new word
 PyObject* m_add_word_store(PyObject*, PyObject* const* args,
                            Py_ssize_t nargs) {
-    Trie* t = get_trie(args[0]);
+    PyTrie* pt = get_pytrie(args[0]);
     Letters w;
     if (!w.from_unicode(args[1])) return NULL;
     int64_t node = -1;
     PyObject* r = guarded([&]() {
-        node = aho_trie_add_word(t, w.data, w.len);
-        return PyBool_FromLong(aho_trie_last_new(t));
+        node = aho_trie_add_word(&pt->t, w.data, w.len);
+        return PyBool_FromLong(aho_trie_last_new(&pt->t));
     });
     if (!r) return NULL;
-    PyObject* nid = PyLong_FromLongLong(node);
-    if (!nid) { Py_DECREF(r); return NULL; }
-    int rc = PyDict_SetItem(args[2], nid, args[3]);
-    Py_DECREF(nid);
-    if (rc < 0) { Py_DECREF(r); return NULL; }
+    pt->val_set(node, args[2]);
     return r;
 }
 
 // Hot-path fusion for Automaton.get: find the end-of-word node and fetch
-// its value from the values dict in one call.  args: (capsule, key_str,
-// values_dict[, default]) -> value; raises KeyError without a default.
+// its value in one call.  args: (capsule, key_str[, default]) -> value;
+// raises KeyError without a default.
 PyObject* m_get_value(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
-    Trie* t = get_trie(args[0]);
+    PyTrie* pt = get_pytrie(args[0]);
     Letters w;
     if (!w.from_unicode(args[1])) return NULL;
-    int64_t node = aho_trie_find_eow(t, w.data, w.len);
-    if (node >= 0) {
-        PyObject* nid = PyLong_FromLongLong(node);
-        if (!nid) return NULL;
-        PyObject* v = PyDict_GetItemWithError(args[2], nid);
-        Py_DECREF(nid);
-        if (v) { Py_INCREF(v); return v; }
-        if (PyErr_Occurred()) return NULL;
-    }
-    if (nargs >= 4) { Py_INCREF(args[3]); return args[3]; }
+    int64_t node = aho_trie_find_eow(&pt->t, w.data, w.len);
+    PyObject* v = pt->val_peek(node);
+    if (v) { Py_INCREF(v); return v; }
+    if (nargs >= 3) { Py_INCREF(args[2]); return args[2]; }
     PyErr_SetNone(PyExc_KeyError);
     return NULL;
+}
+
+// value-store primitives for the non-hot paths (NodeRef.value,
+// remove/pop, BFS export/import)
+PyObject* m_val_set(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    PyTrie* pt = get_pytrie(args[0]);
+    int64_t nid = PyLong_AsLongLong(args[1]);
+    if (nid < 0 && PyErr_Occurred()) return NULL;
+    pt->val_set(nid, args[2]);
+    Py_RETURN_NONE;
+}
+
+PyObject* m_val_get(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    PyTrie* pt = get_pytrie(args[0]);
+    int64_t nid = PyLong_AsLongLong(args[1]);
+    if (nid < 0 && PyErr_Occurred()) return NULL;
+    PyObject* v = pt->val_peek(nid);
+    if (!v) Py_RETURN_NONE;
+    Py_INCREF(v);
+    return v;
+}
+
+PyObject* m_val_pop(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+    PyTrie* pt = get_pytrie(args[0]);
+    int64_t nid = PyLong_AsLongLong(args[1]);
+    if (nid < 0 && PyErr_Occurred()) return NULL;
+    PyObject* v = pt->val_peek(nid);
+    if (!v) Py_RETURN_NONE;
+    pt->vals[(size_t)nid] = nullptr;  // transfer the reference to the caller
+    return v;
 }
 
 PyObject* m_find_eow_buf(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
@@ -872,6 +927,9 @@ PyMethodDef methods[] = {
     {"find_eow", (PyCFunction)(void*)m_find_eow, METH_FASTCALL, ""},
     {"add_word_store", (PyCFunction)(void*)m_add_word_store, METH_FASTCALL, ""},
     {"get_value", (PyCFunction)(void*)m_get_value, METH_FASTCALL, ""},
+    {"val_set", (PyCFunction)(void*)m_val_set, METH_FASTCALL, ""},
+    {"val_get", (PyCFunction)(void*)m_val_get, METH_FASTCALL, ""},
+    {"val_pop", (PyCFunction)(void*)m_val_pop, METH_FASTCALL, ""},
     {"find_eow_buf", (PyCFunction)(void*)m_find_eow_buf, METH_FASTCALL, ""},
     {"remove_word", (PyCFunction)(void*)m_remove_word, METH_FASTCALL, ""},
     {"remove_word_buf", (PyCFunction)(void*)m_remove_word_buf, METH_FASTCALL, ""},

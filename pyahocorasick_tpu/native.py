@@ -104,14 +104,15 @@ def _as_u32(key) -> np.ndarray:
 class NativeTrie:
     """Drop-in counterpart of trie.Trie backed by the C++ arena trie.
 
-    Values (arbitrary Python objects) live host-side in ``_values`` keyed by
-    node id; the C++ node stores the id as its slot.
+    Values (arbitrary Python objects) live in the extension's per-trie
+    value store (one strong reference per node id, see module.cpp PyTrie)
+    — the round-3 host-side dict cost ~0.3 us of PyLong boxing + dict ops
+    per add/get vs the reference's in-node value pointer.
     """
 
     def __init__(self):
         self._ext = _load()
         self._h = self._ext.new()
-        self._values = {}
 
     @property
     def root(self):
@@ -133,7 +134,7 @@ class NativeTrie:
             found, old = self._ext.remove_word_buf(self._h, _as_u32(key))
         if not found:
             return False, None
-        return True, self._values.pop(old, None)
+        return True, self._ext.val_pop(self._h, old)
 
     def find(self, key):
         if isinstance(key, str):
@@ -150,8 +151,7 @@ class NativeTrie:
         return self._ext.longest_prefix_buf(self._h, _as_u32(key))
 
     def clear(self):
-        self._ext.clear(self._h)
-        self._values.clear()
+        self._ext.clear(self._h)  # also clears the value store
 
     def bfs_arrays(self):
         S = self._ext.bfs_size(self._h)
@@ -163,8 +163,8 @@ class NativeTrie:
         slot = np.empty(S, np.int64)
         self._ext.bfs_export(self._h, parent, letter, eow, slot)
         eow_rows = np.nonzero(eow)[0]
-        vals = self._values
-        values = [vals[s] for s in slot[eow_rows].tolist()]
+        ext, h = self._ext, self._h
+        values = [ext.val_get(h, s) for s in slot[eow_rows].tolist()]
         return parent, letter, eow, values
 
     def import_arrays(self, parent, letter, eow, values):
@@ -172,9 +172,9 @@ class NativeTrie:
         letter = np.ascontiguousarray(letter, np.uint32)
         eow_arr = np.ascontiguousarray(eow, np.uint8)
         self._ext.import_arrays(self._h, parent, letter, eow_arr)
-        self._values = {
-            int(nid): values[i] for i, nid in enumerate(np.nonzero(eow_arr)[0])
-        }
+        ext, h = self._ext, self._h
+        for i, nid in enumerate(np.nonzero(eow_arr)[0].tolist()):
+            ext.val_set(h, nid, values[i])
 
     def stats(self):
         nodes, words, links, depth_max, total = self._ext.stats(self._h)
@@ -201,12 +201,13 @@ class NativeNodeRef:
 
     @property
     def value(self):
-        return self._trie._values.get(self._id)
+        return self._trie._ext.val_get(self._trie._h, self._id)
 
     @value.setter
     def value(self, v):
-        self._trie._values[self._id] = v
-        self._trie._ext.set_value(self._trie._h, self._id, self._id)
+        t = self._trie
+        t._ext.val_set(t._h, self._id, v)
+        t._ext.set_value(t._h, self._id, self._id)
 
     @property
     def children(self):
