@@ -79,11 +79,7 @@ class Automaton:
 
     def __init__(self, *args):
         self._trie = _new_trie()
-        # (ext_module, handle) fast-path pair: attribute-chain cost on the
-        # per-call paths measured ~0.1 us at 1M-add rates.  The handle is
-        # stable for the trie's lifetime (import_arrays reuses it).
-        ext = getattr(self._trie, "_ext", None)
-        self._exth = (ext, self._trie._h) if ext is not None else None
+        self._refresh_fastpath()
         self._kind = EMPTY
         self._store = STORE_ANY
         self._key_type = KEY_STRING
@@ -134,6 +130,14 @@ class Automaton:
                     _check_key_type(key_type)
             self._store = store
             self._key_type = key_type
+
+    def _refresh_fastpath(self):
+        """Recompute the cached (ext_module, handle) fast-path pair —
+        attribute-chain cost on the per-call paths measured ~0.1 us at
+        1M-add rates.  MUST be called whenever ``_trie`` is replaced
+        (unpickle/load rebuild it; see serialization.unpickle_into)."""
+        ext = getattr(self._trie, "_ext", None)
+        self._exth = (ext, self._trie._h) if ext is not None else None
 
     # ------------------------------------------------------------------
     # read-only attributes

@@ -90,6 +90,7 @@ def _rebuild_trie(automaton, parent, letter, eow, values):
     S = parent.size
     if S == 0:
         automaton._trie = Trie()
+        automaton._refresh_fastpath()
         return
 
     n_words = int(eow.sum())
@@ -111,6 +112,7 @@ def _rebuild_trie(automaton, parent, letter, eow, values):
         vlist = values if values is not None else [None] * n_words
         trie.import_arrays(parent, letter, eow, vlist)
         automaton._trie = trie
+        automaton._refresh_fastpath()
         return
 
     trie = Trie()
@@ -127,6 +129,7 @@ def _rebuild_trie(automaton, parent, letter, eow, values):
                 nodes[i].value = values[vi]
                 vi += 1
     automaton._trie = trie
+    automaton._refresh_fastpath()
 
 
 def reduce_automaton(automaton):
