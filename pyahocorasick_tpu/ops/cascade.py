@@ -352,7 +352,10 @@ def _bucket_verify(d, ep, eg4, cvalid, g4, counts, P, bucket_max, cbud):
     positions (shared by the cascade cores): l==4 candidates are counted
     exactly on device; l>=5 survivors are flagged for host text compare.
 
-    Returns (counts, deep_flag[cbud, bucket_max], deep_ids[...])."""
+    Returns (counts, deep_flag[cbud, bucket_max], deep_ids[...],
+    e4_flag[cbud, bucket_max]): e4_flag marks EXACT l==4 confirmations so
+    emission callers can compact (position, id) pairs; counts callers let
+    XLA dead-code-eliminate it."""
     import jax
     import jax.numpy as jnp
 
@@ -367,6 +370,7 @@ def _bucket_verify(d, ep, eg4, cvalid, g4, counts, P, bucket_max, cbud):
     end = jnp.take(d["bucket_off"], rank + 1, mode="clip")
     deep_flag = jnp.zeros((cbud, bucket_max), jnp.int32)
     deep_ids = jnp.zeros((cbud, bucket_max), jnp.int32)
+    e4_flag = jnp.zeros((cbud, bucket_max), jnp.int32)
     for t in range(bucket_max):
         ci = off + t
         live = hit & (ci < end)
@@ -389,7 +393,8 @@ def _bucket_verify(d, ep, eg4, cvalid, g4, counts, P, bucket_max, cbud):
         isdeep = okstart & (cl >= 5)
         deep_flag = deep_flag.at[:, t].set(isdeep.astype(jnp.int32))
         deep_ids = deep_ids.at[:, t].set(cid)
-    return counts, deep_flag, deep_ids
+        e4_flag = e4_flag.at[:, t].set(is4.astype(jnp.int32))
+    return counts, deep_flag, deep_ids, e4_flag
 
 
 def _compact(flags_i32, budget):
@@ -542,7 +547,7 @@ def _make_core(
             eg4 = jnp.take(g4, ep, mode="clip")
 
             # --- exact S4 membership + bucket rank via popcount
-            counts, deep_flag, deep_ids = _bucket_verify(
+            counts, deep_flag, deep_ids, _ = _bucket_verify(
                 d, ep, eg4, cvalid, g4, counts, P, bucket_max, cbud
             )
             dbuf, dtot = _compact(deep_flag.reshape(-1), _DEEP_BUDGET)

@@ -299,6 +299,56 @@ def emit_matches_cascade(
     et = _emit_tables(compiled, t)
     wl = compiled.word_len
 
+    # --- fused fast path: candidate discovery via the v5 Pallas kernel
+    # (ops/fused.py) — one gridded dispatch instead of the windowed v2-era
+    # XLA flags (~6 ns/char measured); short lengths overlap on the host
+    if t.has4 and os.environ.get("PYAHOCORASICK_TPU_EMIT_FUSED", "1") != "0":
+        from . import fused as F
+
+        if F.build_fused_tables(compiled) is not None:
+            import threading
+
+            sbox = {}
+
+            def _short():
+                try:
+                    if any(et.id_luts[i] is not None for i in range(3)):
+                        sp, si = _short_emit_host(et, t.K, full, vstart)
+                        sbox["r"] = (sp - vstart + base, si)
+                    else:
+                        sbox["r"] = (None, None)
+                except BaseException as exc:  # noqa: BLE001
+                    sbox["e"] = exc
+
+            th = threading.Thread(target=_short)
+            th.start()
+            fstaged = staged
+            if fstaged is not None:
+                exp = F._bucket_tiles(-(-N // F._TILE)) * F._TILE
+                if int(fstaged.shape[0]) != exp:
+                    fstaged = None  # caller staged an unpadded stream
+            r = F.emit_candidates_fused(compiled, cls, halo, staged=fstaged)
+            th.join()
+            if "e" in sbox:
+                raise sbox["e"]
+            if r is not None:
+                p4, i4, dp, di = r
+                parts_pos = []
+                parts_id = []
+                if p4.size:
+                    parts_pos.append(p4 - vstart + base)
+                    parts_id.append(i4)
+                if dp.size:
+                    eq = C._verify_deep_mask(t, full, dp, di)
+                    if eq.any():
+                        parts_pos.append(dp[eq] - vstart + base)
+                        parts_id.append(di[eq])
+                spos, sids = sbox["r"]
+                return _merge_reference_order(
+                    parts_pos, parts_id, spos, sids, wl
+                )
+            # fused gated at runtime: fall through to the windowed core
+
     # --- windowing geometry (exact: any match fits in a longest_word span)
     SEG = 1 << int(os.environ.get("PYAHOCORASICK_TPU_SEG_LOG2", 26))
     H = max(int(compiled.longest_word), 1)
@@ -389,9 +439,14 @@ def emit_matches_cascade(
                 parts_pos.append(dp[eq].astype(np.int64) + woff)
                 parts_id.append(di[eq].astype(np.int64))
 
-    # --- merge: the deep stream (l>=4) is small, the short stream is
-    # already in reference order, so sort only the deep pairs and merge the
-    # two sorted streams (deep-before-short at equal end: longer first)
+    return _merge_reference_order(parts_pos, parts_id, spos, sids, wl)
+
+
+def _merge_reference_order(parts_pos, parts_id, spos, sids, wl):
+    """Merge the deep (l>=4) pair stream with the short stream into
+    reference emission order: end ascending, longer pattern first at equal
+    end (fail-chain order).  The short stream is already ordered; only the
+    small deep stream is sorted, then a linear two-stream merge."""
     if parts_pos:
         pos_d = np.concatenate(parts_pos)
         id_d = np.concatenate(parts_id)

@@ -646,7 +646,7 @@ def _make_post_verify(K, bucket_max, vbud, P, interpret):
                 + cc(pos)
             )
 
-        counts, deep_flag, deep_ids = _bucket_verify(
+        counts, deep_flag, deep_ids, _ = _bucket_verify(
             d, ep, eg4, cval, g4_of, counts, P, bucket_max, vbud
         )
         dbuf, dtot = _compact(deep_flag.reshape(-1), _DEEP_BUDGET)
@@ -720,36 +720,12 @@ def _bucket_tiles(n_tiles: int) -> int:
     return base * 2
 
 
-def count_matches_fused(
-    compiled: CompiledAutomaton,
-    cls: np.ndarray,
-    halo: Optional[np.ndarray] = None,
-    staged=None,
-    short_on_host: bool = True,
-) -> Optional[np.ndarray]:
-    """Per-pattern int64 counts via the fused flag kernel, or None when the
-    engine is gated (no l>=4 patterns, saturated blooms, budget overflow) —
-    the caller then falls back to the cascade/classic engines.  Exact for
-    the same reasons as the cascade (every bloom pass is re-verified)."""
-    ct = _c.build_tables(compiled)
-    if ct is None:
-        return None
-    ft = build_fused_tables(compiled)
-    if ft is None:
-        return None
+def _flags_run(compiled, ct, ft, full, N, staged):
+    """Shared front half of the fused pipelines: pad/bucket the class
+    stream, build or fetch the compiled flags program, dispatch it.
+    Returns (posbuf, codebuf, totals_dev, cls_dev, K, Npad, fin_slots,
+    vbuf, interp) — all device values still in flight."""
     import jax.numpy as jnp
-
-    if halo is not None and halo.size:
-        H = max(int(compiled.longest_word), 1)
-        h = halo[-H:]
-        full = np.concatenate([h.astype(np.int32), cls])
-        vstart = int(h.size)
-    else:
-        full = cls
-        vstart = 0
-    N = int(full.size)
-    if N == 0:
-        return np.zeros(compiled.num_patterns, np.int64)
 
     # pad to a bucketed number of kernel tiles (class 0 tail cannot create
     # candidates that survive verification; bucketing bounds the set of
@@ -784,8 +760,45 @@ def count_matches_fused(
         pad[:N] = full
         cls_dev = jnp.asarray(pad)
 
-    dev = ct.device_arrays()
     ftd = ft.device_arrays()
+    posbuf, codebuf, totals_dev = _FLAGS_CACHE[fkey](
+        cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2"]
+    )
+    return (posbuf, codebuf, totals_dev, cls_dev, K, Npad, fin_slots,
+            vbuf, interp)
+
+
+def count_matches_fused(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: Optional[np.ndarray] = None,
+    staged=None,
+    short_on_host: bool = True,
+) -> Optional[np.ndarray]:
+    """Per-pattern int64 counts via the fused flag kernel, or None when the
+    engine is gated (no l>=4 patterns, saturated blooms, budget overflow) —
+    the caller then falls back to the cascade/classic engines.  Exact for
+    the same reasons as the cascade (every bloom pass is re-verified)."""
+    ct = _c.build_tables(compiled)
+    if ct is None:
+        return None
+    ft = build_fused_tables(compiled)
+    if ft is None:
+        return None
+
+    if halo is not None and halo.size:
+        H = max(int(compiled.longest_word), 1)
+        h = halo[-H:]
+        full = np.concatenate([h.astype(np.int32), cls])
+        vstart = int(h.size)
+    else:
+        full = cls
+        vstart = 0
+    N = int(full.size)
+    if N == 0:
+        return np.zeros(compiled.num_patterns, np.int64)
+
+    dev = ct.device_arrays()
 
     host_thread = None
     host_box: dict = {}
@@ -802,9 +815,8 @@ def count_matches_fused(
         host_thread = threading.Thread(target=_host_hist)
         host_thread.start()
 
-    posbuf, codebuf, totals_dev = _FLAGS_CACHE[fkey](
-        cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2"]
-    )
+    (posbuf, codebuf, totals_dev, cls_dev, K, Npad, fin_slots, vbuf,
+     interp) = _flags_run(compiled, ct, ft, full, N, staged)
     from .cascade import _DEEP_BUDGET
 
     # Verify sizing: the verify's cost scales with its budget (measured
@@ -891,3 +903,154 @@ def count_matches_fused(
         di = np.asarray(deep_id[:ndeep])
         counts += _c._verify_deep_host(ct, full, vstart, dp, di)
     return counts
+
+
+# ---------------------------------------------------------------------------
+# emission support: the same flags pipeline, but the verify COLLECTS the
+# confirmed (position, id) pairs — l==4 exactly on device, l>=5 flagged for
+# the host text compare — instead of scattering counts.  cascade_emit.py
+# merges these with the host short-length stream (the round-3 emit core
+# still ran the v2-era XLA flags at ~6 ns/char; the fused kernel does the
+# same candidate discovery at ~2.5).
+
+
+def _make_post_verify_emit(K, bucket_max, vbud, P, interp):
+    """jit: (posbuf_slice, codebuf_slice, cls_i8, vstart, n_valid, d) ->
+    (pos4, id4, e4tot, deep_pos, deep_id, dtot)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .cascade import _DEEP_BUDGET, _bucket_verify, _compact
+
+    e4bud = vbud  # confirmed l4 pairs are a subset of the candidates
+
+    def fn(posbuf, codebuf, cls_i8, vstart, n_valid, d):
+        counts = jnp.zeros((P + 1,), jnp.int32)
+        ep = posbuf
+        cval = (ep >= jnp.maximum(vstart, 3)) & (ep < n_valid)
+        eg4 = codebuf
+
+        def g4_of(pos):
+            def cc(q):
+                return jnp.take(
+                    cls_i8, jnp.clip(q, 0, n_valid - 1), mode="clip"
+                ).astype(jnp.int32)
+
+            return (
+                ((cc(pos - 3) * K + cc(pos - 2)) * K + cc(pos - 1)) * K
+                + cc(pos)
+            )
+
+        counts, deep_flag, deep_ids, e4_flag = _bucket_verify(
+            d, ep, eg4, cval, g4_of, counts, P, bucket_max, vbud
+        )
+
+        def expand(flag2d, ids2d, bud):
+            buf, tot = _compact(flag2d.reshape(-1), bud)
+            valid = buf >= 0
+            bi = jnp.maximum(buf, 0)
+            pos = jnp.where(
+                valid, jnp.take(ep, bi // bucket_max, mode="clip"), -1
+            )
+            pid = jnp.where(
+                valid, jnp.take(ids2d.reshape(-1), bi, mode="clip"), -1
+            )
+            return pos, pid, tot
+
+        pos4, id4, e4tot = expand(e4_flag, deep_ids, e4bud)
+        deep_pos, deep_id, dtot = expand(deep_flag, deep_ids, _DEEP_BUDGET)
+        return pos4, id4, e4tot, deep_pos, deep_id, dtot
+
+    return jax.jit(fn)
+
+
+def emit_candidates_fused(
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: Optional[np.ndarray] = None,
+    staged=None,
+):
+    """Confirmed deep-match pairs for emission, or None when gated.
+
+    Returns (pos4 int64, id4 int64, deep_pos int64, deep_id int64) where
+    (pos4, id4) are EXACT l==4 matches (device-verified) and the deep
+    arrays are l>=5 candidates both of whose 4-gram anchors matched — the
+    caller must text-compare them on the host (cascade._verify_deep_mask).
+    Positions are indices into the halo-extended stream."""
+    ct = _c.build_tables(compiled)
+    if ct is None or not ct.has4:
+        return None
+    ft = build_fused_tables(compiled)
+    if ft is None:
+        return None
+
+    if halo is not None and halo.size:
+        H = max(int(compiled.longest_word), 1)
+        h = halo[-H:]
+        full = np.concatenate([h.astype(np.int32), cls])
+        vstart = int(h.size)
+    else:
+        full = cls
+        vstart = 0
+    N = int(full.size)
+    empty = np.empty(0, np.int64)
+    if N == 0:
+        return empty, empty, empty, empty
+
+    dev = ct.device_arrays()
+    (posbuf, codebuf, totals_dev, cls_dev, K, Npad, fin_slots, vbuf,
+     interp) = _flags_run(compiled, ct, ft, full, N, staged)
+    from .cascade import _DEEP_BUDGET
+
+    rate_meas = compiled._cache.get("fused_rate")
+    if rate_meas is not None:
+        est = rate_meas * 1.05
+    else:
+        est = (ft.fin_est + _true_rate(ct, K)) * 4
+    vbud = min(max(_pow2(int(est * Npad)), 1 << 13), vbuf)
+
+    def _verify(vb):
+        vkey = ("emit", K, max(ct.bucket_max, 1), vb, ct.num_patterns,
+                interp)
+        if vkey not in _POST_CACHE:
+            _POST_CACHE[vkey] = _make_post_verify_emit(*vkey[1:])
+        return _POST_CACHE[vkey](
+            posbuf[:vb], codebuf[:vb], cls_dev, np.int32(vstart),
+            np.int32(N), dev
+        )
+
+    out = _verify(vbud)
+    totals = np.asarray(totals_dev)
+    if totals[0] > _CAP or totals[1] > fin_slots or totals[2] > vbuf:
+        return None
+    if totals[2] > 0:
+        compiled._cache["fused_rate"] = max(
+            float(totals[2]) / max(Npad, 1), rate_meas or 0.0
+        )
+    if totals[2] > vbud:
+        vbud = min(_pow2(max(int(totals[2]), 1 << 12)), vbuf)
+        out = _verify(vbud)
+    pos4b, id4b, e4tot_dev, deep_pos, deep_id, dtot_dev = out
+    e4tot = int(np.asarray(e4tot_dev))
+    dtot = int(np.asarray(dtot_dev))
+    if e4tot > vbud or dtot > _DEEP_BUDGET:
+        return None
+    if e4tot:
+        p4 = np.asarray(pos4b[: _pow2(max(e4tot, 1))])[:e4tot].astype(
+            np.int64
+        )
+        i4 = np.asarray(id4b[: _pow2(max(e4tot, 1))])[:e4tot].astype(
+            np.int64
+        )
+    else:
+        p4 = i4 = empty
+    if dtot:
+        dp = np.asarray(deep_pos[: _pow2(max(dtot, 1))])[:dtot].astype(
+            np.int64
+        )
+        di = np.asarray(deep_id[: _pow2(max(dtot, 1))])[:dtot].astype(
+            np.int64
+        )
+    else:
+        dp = di = empty
+    return p4, i4, dp, di

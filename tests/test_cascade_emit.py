@@ -166,3 +166,34 @@ def test_windowed_emission_with_halo(monkeypatch):
     assert list(zip(pos.tolist(), pids.tolist())) == _oracle_pairs(
         A, hay, end_min=cut
     )
+
+
+def test_emit_fused_and_windowed_agree(monkeypatch):
+    """The fused candidate path (default) and the windowed v2 core must
+    produce identical reference-order streams."""
+    import random
+
+    rng = random.Random(21)
+    words = sorted(
+        {
+            "".join(rng.choice("abcdefg") for _ in range(rng.randint(1, 9)))
+            for _ in range(120)
+        }
+    )
+    A = ahocorasick.Automaton()
+    for i, w in enumerate(words):
+        A.add_word(w, i)
+    A.make_automaton()
+    compiled = A._compiled
+    hay = "".join(rng.choice("abcdefg_") for _ in range(20000))
+    cls = compiled.classes_of(
+        np.frombuffer(hay.encode("utf-32-le"), np.uint32)
+    ).astype(np.int32)
+
+    monkeypatch.setenv("PYAHOCORASICK_TPU_EMIT_FUSED", "1")
+    r_fused = cascade_emit.emit_matches_cascade(compiled, cls)
+    monkeypatch.setenv("PYAHOCORASICK_TPU_EMIT_FUSED", "0")
+    r_win = cascade_emit.emit_matches_cascade(compiled, cls)
+    assert r_fused is not None and r_win is not None
+    assert np.array_equal(r_fused[0], r_win[0])
+    assert np.array_equal(r_fused[1], r_win[1])
