@@ -78,8 +78,7 @@ class Automaton:
     _fast_str_keys = True
 
     def __init__(self, *args):
-        self._trie = _new_trie()
-        self._refresh_fastpath()
+        self._trie = _new_trie()  # property setter refreshes the fast path
         self._kind = EMPTY
         self._store = STORE_ANY
         self._key_type = KEY_STRING
@@ -131,13 +130,26 @@ class Automaton:
             self._store = store
             self._key_type = key_type
 
+    @property
+    def _trie(self):
+        return self._trie_obj
+
+    @_trie.setter
+    def _trie(self, trie):
+        # keep the cached (ext_module, handle) fast-path pair in sync with
+        # the backing trie — attribute-chain cost on the per-call paths
+        # measured ~0.1 us at 1M-add rates, and a stale pair after a trie
+        # swap (unpickle, tests forcing the Python backend) silently
+        # queries the WRONG trie
+        self._trie_obj = trie
+        self._refresh_fastpath()
+
     def _refresh_fastpath(self):
-        """Recompute the cached (ext_module, handle) fast-path pair —
-        attribute-chain cost on the per-call paths measured ~0.1 us at
-        1M-add rates.  MUST be called whenever ``_trie`` is replaced
-        (unpickle/load rebuild it; see serialization.unpickle_into)."""
-        ext = getattr(self._trie, "_ext", None)
-        self._exth = (ext, self._trie._h) if ext is not None else None
+        """Recompute the cached (ext_module, handle) fast-path pair (also
+        exposed for callers that mutate the trie's identity in place)."""
+        trie = self._trie_obj
+        ext = getattr(trie, "_ext", None)
+        self._exth = (ext, trie._h) if ext is not None else None
 
     # ------------------------------------------------------------------
     # read-only attributes

@@ -617,17 +617,28 @@ def _make_flags_fn(K: int, r1: int, r4: int, r2s: int, n_tiles: int,
     return jax.jit(fn)
 
 
-def _make_post_verify(K, bucket_max, vbud, P, interpret):
+def _make_post_verify(K, bucket_max, vbud, P, interpret,
+                      two_phase: bool = True):
     """jit: (posbuf_slice, codebuf_slice, cls_i8, vstart, n_valid, d) ->
-    (counts, deep_pos, deep_id, dtot).  Runs the exact S4/bucket
+    (counts, deep_pos, deep_id, dtot, mtot).  Runs the exact S4/bucket
     verification on the (speculatively) sized survivor list; g4 codes at
     candidate positions come from the kernel's code output, and the match-
     start codes are recomputed from 4 class gathers (the full g4 stream is
-    never materialized since v4)."""
+    never materialized since v4).
+
+    TWO-PHASE bucket walk (measured: the t>=1 iterations cost 27 ms each
+    at a 262k budget, yet most last4 buckets hold ONE pattern): phase 1
+    runs t=0 for every slot; slots whose bucket has >= 2 entries are
+    compacted into a vbud/4 side list and only they pay t>=1.  ``mtot``
+    reports the side-list occupancy — an overflow (> vbud/4 multi-pattern
+    candidates, adversarial) makes the caller re-dispatch the flat
+    single-phase program (two_phase=False) so counts stay exact."""
     import jax
     import jax.numpy as jnp
 
-    from .cascade import _DEEP_BUDGET, _bucket_verify, _compact
+    from .cascade import _DEEP_BUDGET, _compact
+
+    mbud = max(vbud // 4, 1 << 10)
 
     def fn(posbuf, codebuf, cls_i8, vstart, n_valid, d):
         counts = jnp.zeros((P + 1,), jnp.int32)
@@ -635,21 +646,72 @@ def _make_post_verify(K, bucket_max, vbud, P, interpret):
         cval = (ep >= jnp.maximum(vstart, 3)) & (ep < n_valid)
         eg4 = codebuf
 
-        def g4_of(pos):
+        def g4_of(cls_take, pos):
             def cc(q):
-                return jnp.take(
-                    cls_i8, jnp.clip(q, 0, n_valid - 1), mode="clip"
-                ).astype(jnp.int32)
+                return cls_take(jnp.clip(q, 0, n_valid - 1))
 
             return (
                 ((cc(pos - 3) * K + cc(pos - 2)) * K + cc(pos - 1)) * K
                 + cc(pos)
             )
 
-        counts, deep_flag, deep_ids, _ = _bucket_verify(
-            d, ep, eg4, cval, g4_of, counts, P, bucket_max, vbud
+        def cls_take(q):
+            return jnp.take(cls_i8, q, mode="clip").astype(jnp.int32)
+
+        w = jnp.take(d["s4_words"], eg4 >> 5, mode="clip")
+        hit = cval & (((w >> (eg4 & 31)) & 1) > 0)
+        rank = jnp.take(
+            d["s4_rank"], eg4 >> 5, mode="clip"
+        ) + jax.lax.population_count(
+            w & ((jnp.int32(1) << (eg4 & 31)) - 1)
         )
-        dbuf, dtot = _compact(deep_flag.reshape(-1), _DEEP_BUDGET)
+        off = jnp.take(d["bucket_off"], rank, mode="clip")
+        end = jnp.take(d["bucket_off"], rank + 1, mode="clip")
+
+        def bucket_iter(counts, ep_v, off_v, live, t):
+            ci = off_v + t
+            cl = jnp.take(d["cand_len"], ci, mode="clip")
+            cs4 = jnp.take(d["cand_start4"], ci, mode="clip")
+            cid = jnp.take(d["cand_id"], ci, mode="clip")
+            sp = ep_v - cl + 4
+            inb = live & (sp >= 3)
+            okstart = inb & (g4_of(cls_take, jnp.maximum(sp, 0)) == cs4)
+            is4 = okstart & (cl == 4)
+            counts = counts.at[jnp.where(is4, cid, P)].add(1, mode="drop")
+            isdeep = okstart & (cl >= 5)
+            return counts, isdeep.astype(jnp.int32), cid
+
+        n_phase1 = bucket_max if not two_phase else 1
+        deep_flag = jnp.zeros((vbud, bucket_max), jnp.int32)
+        deep_ids = jnp.zeros((vbud, bucket_max), jnp.int32)
+        for t in range(n_phase1):
+            counts, df, cid = bucket_iter(
+                counts, ep, off, hit & (off + t < end), t
+            )
+            deep_flag = deep_flag.at[:, t].set(df)
+            deep_ids = deep_ids.at[:, t].set(cid)
+
+        mtot = jnp.int32(0)
+        mdeep_flag = jnp.zeros((mbud, max(bucket_max - 1, 1)), jnp.int32)
+        mdeep_ids = jnp.zeros((mbud, max(bucket_max - 1, 1)), jnp.int32)
+        msel = jnp.zeros((mbud,), jnp.int32)
+        if two_phase and bucket_max > 1:
+            multi = (hit & (end - off >= 2)).astype(jnp.int32)
+            mbuf, mtot = _compact(multi, mbud)
+            mvalid = mbuf >= 0
+            mi = jnp.maximum(mbuf, 0)
+            mep = jnp.take(ep, mi, mode="clip")
+            moff = jnp.take(off, mi, mode="clip")
+            mend = jnp.take(end, mi, mode="clip")
+            msel = jnp.where(mvalid, mi, vbud)
+            for t in range(1, bucket_max):
+                counts, df, cid = bucket_iter(
+                    counts, mep, moff, mvalid & (moff + t < mend), t
+                )
+                mdeep_flag = mdeep_flag.at[:, t - 1].set(df)
+                mdeep_ids = mdeep_ids.at[:, t - 1].set(cid)
+
+        dbuf, dtot1 = _compact(deep_flag.reshape(-1), _DEEP_BUDGET)
         dvalid = dbuf >= 0
         di = jnp.maximum(dbuf, 0)
         deep_pos = jnp.where(
@@ -658,7 +720,38 @@ def _make_post_verify(K, bucket_max, vbud, P, interpret):
         deep_id = jnp.where(
             dvalid, jnp.take(deep_ids.reshape(-1), di, mode="clip"), -1
         )
-        return counts[:P], deep_pos, deep_id, dtot
+        if two_phase and bucket_max > 1:
+            mb = max(bucket_max - 1, 1)
+            dbuf2, dtot2 = _compact(mdeep_flag.reshape(-1), _DEEP_BUDGET)
+            dvalid2 = dbuf2 >= 0
+            di2 = jnp.maximum(dbuf2, 0)
+            slot2 = jnp.take(msel, di2 // mb, mode="clip")
+            deep_pos2 = jnp.where(
+                dvalid2,
+                jnp.take(ep, jnp.minimum(slot2, vbud - 1), mode="clip"),
+                -1,
+            )
+            deep_id2 = jnp.where(
+                dvalid2,
+                jnp.take(mdeep_ids.reshape(-1), di2, mode="clip"),
+                -1,
+            )
+            # concatenate the two deep streams back to back
+            deep_pos = jnp.concatenate([deep_pos, deep_pos2])
+            deep_id = jnp.concatenate([deep_id, deep_id2])
+            dtot = dtot1 + dtot2
+            # splice: move phase-2 entries up against phase-1's tail
+            idx = jnp.arange(deep_pos.shape[0], dtype=jnp.int32)
+            take_from = jnp.where(
+                idx < dtot1, idx, idx - dtot1 + _DEEP_BUDGET
+            )
+            deep_pos = jnp.take(deep_pos, take_from, mode="clip")
+            deep_id = jnp.take(deep_id, take_from, mode="clip")
+            deep_pos = jnp.where(idx < dtot, deep_pos, -1)[:_DEEP_BUDGET]
+            deep_id = jnp.where(idx < dtot, deep_id, -1)[:_DEEP_BUDGET]
+        else:
+            dtot = dtot1
+        return counts[:P], deep_pos, deep_id, dtot, mtot
 
     return jax.jit(fn)
 
@@ -832,8 +925,9 @@ def count_matches_fused(
         est = (ft.fin_est + _true_rate(ct, K)) * 4
     vbud = min(max(_pow2(int(est * Npad)), 1 << 13), vbuf)
 
-    def _verify(vb):
-        vkey = (K, max(ct.bucket_max, 1), vb, ct.num_patterns, interp)
+    def _verify(vb, two_phase=True):
+        vkey = (K, max(ct.bucket_max, 1), vb, ct.num_patterns, interp,
+                two_phase)
         if vkey not in _POST_CACHE:
             _POST_CACHE[vkey] = _make_post_verify(*vkey)
         return _POST_CACHE[vkey](
@@ -841,7 +935,7 @@ def count_matches_fused(
             np.int32(N), dev
         )
 
-    counts, deep_pos, deep_id, dtot = _verify(vbud)
+    counts, deep_pos, deep_id, dtot, mtot = _verify(vbud)
     totals = np.asarray(totals_dev)
 
     if totals[0] > _CAP or totals[1] > fin_slots or totals[2] > vbuf:
@@ -878,7 +972,12 @@ def count_matches_fused(
         # speculation too small (rare: rate far above the estimate) — run
         # the verify again at the actual pow2-rounded survivor count
         vbud = min(_pow2(max(int(totals[2]), 1 << 12)), vbuf)
-        counts, deep_pos, deep_id, dtot = _verify(vbud)
+        counts, deep_pos, deep_id, dtot, mtot = _verify(vbud)
+    if int(np.asarray(mtot)) > max(vbud // 4, 1 << 10):
+        # multi-pattern-bucket side list overflowed (adversarial bucket
+        # density): redo with the flat single-phase program — exactness
+        # never rides the fast path's occupancy assumption
+        counts, deep_pos, deep_id, dtot, _ = _verify(vbud, two_phase=False)
 
     totals = np.concatenate([totals, np.asarray([dtot])])
     if host_thread is not None:

@@ -149,3 +149,44 @@ def test_bloom_host_device_hash_mirror():
             assert len(hbits) == len(dbits) == (3 if wbits == 24 else 2)
             for hb, db in zip(hbits, dbits):
                 assert np.array_equal(hb, np.asarray(db))
+
+
+def test_two_phase_verify_matches_flat():
+    """The two-phase bucket verify (fast path) and the flat single-phase
+    program must agree on counts AND the deep candidate stream."""
+    rng = random.Random(17)
+    words = sorted(
+        {
+            "".join(rng.choice("abcde") for _ in range(rng.randint(4, 9)))
+            for _ in range(200)
+        }
+    )
+    compiled = _build(words)
+    hay = "".join(rng.choice("abcde") for _ in range(20000))
+    cls = compiled.classes_of(
+        np.frombuffer(hay.encode("utf-32-le"), np.uint32)
+    ).astype(np.int32)
+    ct = cascade.build_tables(compiled)
+    ft = fused.build_fused_tables(compiled)
+    assert ct is not None and ft is not None
+    (posbuf, codebuf, totals_dev, cls_dev, K, Npad, fs, vbuf, interp) = (
+        fused._flags_run(compiled, ct, ft, cls, cls.size, None)
+    )
+    vbud = min(fused._pow2(max(int(np.asarray(totals_dev)[2]), 1 << 10)),
+               vbuf)
+    dev = ct.device_arrays()
+    out = {}
+    for tp in (True, False):
+        fn = fused._make_post_verify(
+            K, max(ct.bucket_max, 1), vbud, ct.num_patterns, interp, tp
+        )
+        counts, dp, di, dtot, _ = fn(
+            posbuf[:vbud], codebuf[:vbud], cls_dev,
+            np.int32(0), np.int32(cls.size), dev,
+        )
+        nd = int(np.asarray(dtot))
+        pairs = sorted(
+            zip(np.asarray(dp)[:nd].tolist(), np.asarray(di)[:nd].tolist())
+        )
+        out[tp] = (np.asarray(counts).tolist(), nd, pairs)
+    assert out[True] == out[False]
