@@ -207,7 +207,7 @@ def scan_states(
                 if assoc.assoc_ok(compiled):
                     last_engine["scan"] = "assoc"
                     return assoc.scan_states_assoc(compiled, cls, halo)
-                _gated("assoc", f"num_states > assoc gate")
+                _gated("assoc", "num_states above the assoc gate")
             except ImportError:
                 _jax_failed = True
             continue
