@@ -113,7 +113,7 @@ def _auto_chain(compiled: CompiledAutomaton, n: int, op: str) -> list[str]:
         if compiled._cache.get("hotcold") is not None:
             chain.append("hotcold")
     if op == "emit" and big_table:
-        chain.append("cascade")
+        chain += ["fixedlen", "cascade"]
     if op in ("emit", "counts", "total") and not device:
         # sparse pre-lowering scan: goto via child runs + fail chains beats
         # paying the dense-table lowering for small inputs
@@ -143,7 +143,8 @@ _APPLICABLE = {
         "seq", "numpy", "jax", "assoc",
         "fixedlen", "fused", "cascade", "hotcold",
     },
-    "emit": {"seq", "numpy", "jax", "assoc", "cascade", "sparse"},
+    "emit": {"seq", "numpy", "jax", "assoc", "fixedlen", "cascade",
+             "sparse"},
     "total": {
         "seq", "numpy", "jax", "assoc",
         "fixedlen", "fused", "cascade", "hotcold", "stride",
@@ -267,6 +268,22 @@ def emit(
     global _jax_failed
     N = int(cls.size)
     for name in plan_chain(compiled, N, "emit"):
+        if name == "fixedlen":
+            # single-fixed-length dictionaries: survivors of the
+            # fingerprint kernel ARE the matches (ops/fixedlen.py)
+            try:
+                from .ops import fixedlen as fixedlen_ops
+
+                res = fixedlen_ops.emit_matches_fixedlen(
+                    compiled, cls, halo, base
+                )
+                if res is not None:
+                    last_engine["emit"] = "fixedlen"
+                    return res
+                _gated(name, "not a fixed-length dictionary or over budget")
+            except ImportError:
+                _jax_failed = True
+            continue
         if name == "cascade":
             # cascade emission: exact bitmap short matches + verified deep
             # candidates, no per-char DFA gather; None -> next engine

@@ -157,3 +157,35 @@ def test_fixedlen_empty_and_tiny_inputs():
     compiled = _build(words)
     assert _counts(compiled, "").sum() == 0
     assert _counts(compiled, "acgt").sum() == 0  # shorter than L
+
+
+def test_fixedlen_emission_matches_oracle():
+    rng = random.Random(15)
+    words = _dna_words(rng, 250)
+    compiled = _build(words)
+    hay = "".join(rng.choice("acgt") for _ in range(5000))
+    for w in words[:8]:
+        p = rng.randrange(len(hay) - 20)
+        hay = hay[:p] + w + hay[p + 20:]
+    c = _cls(compiled, hay)
+    got = fixedlen.emit_matches_fixedlen(compiled, c)
+    assert got is not None
+    pos, pids = engines.emit(compiled, c)
+    assert np.array_equal(got[0], pos)
+    assert np.array_equal(got[1], pids)
+    assert got[0].size >= 8
+
+
+def test_fixedlen_emission_halo_and_base():
+    rng = random.Random(16)
+    words = _dna_words(rng, 120)
+    compiled = _build(words)
+    halo = "".join(rng.choice("acgt") for _ in range(40)) + words[0][:9]
+    hay = words[0][9:] + "".join(rng.choice("acgt") for _ in range(2500))
+    ch, cc = _cls(compiled, halo), _cls(compiled, hay)
+    got = fixedlen.emit_matches_fixedlen(compiled, cc, ch, base=1000)
+    want_pos, want_ids = engines.emit(compiled, cc, ch, base=1000)
+    assert got is not None
+    assert np.array_equal(got[0], want_pos)
+    assert np.array_equal(got[1], want_ids)
+    assert got[0].size >= 1
