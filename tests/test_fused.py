@@ -180,7 +180,7 @@ def test_two_phase_verify_matches_flat():
         fn = fused._make_post_verify(
             K, max(ct.bucket_max, 1), vbud, ct.num_patterns, interp, tp
         )
-        counts, dp, di, dtot, _ = fn(
+        counts, _c16, dp, di, dtot, _ = fn(
             posbuf[:vbud], codebuf[:vbud], cls_dev,
             np.int32(0), np.int32(cls.size), dev,
         )
