@@ -189,3 +189,34 @@ def test_fixedlen_emission_halo_and_base():
     assert np.array_equal(got[0], want_pos)
     assert np.array_equal(got[1], want_ids)
     assert got[0].size >= 1
+
+
+def test_fixedlen_haystack_with_other_characters():
+    """Characters outside the pattern alphabet (class 0: 'n' bases, etc.)
+    must never produce matches through windows containing them."""
+    rng = random.Random(18)
+    words = _dna_words(rng, 150)
+    compiled = _build(words)
+    hay = "".join(rng.choice("acgtn") for _ in range(4000))
+    hay += words[1] + "n" + words[2]  # adjacent to 'other' chars
+    got = _counts(compiled, hay)
+    assert got is not None
+    assert np.array_equal(got, _oracle(compiled, hay))
+    assert got[1] >= 1 and got[2] >= 1
+
+
+def test_fixedlen_pattern_substring_window_shift():
+    """Shifted windows sharing 19 of 20 chars with a pattern must not
+    match (fingerprint families must not collide on near-misses)."""
+    rng = random.Random(19)
+    words = _dna_words(rng, 80)
+    compiled = _build(words)
+    w = words[0]
+    # embed every 1-char-shifted corruption of w
+    hay = "".join(
+        w[:i] + ("a" if w[i] != "a" else "c") + w[i + 1:]
+        for i in range(20)
+    )
+    got = _counts(compiled, hay)
+    assert got is not None
+    assert np.array_equal(got, _oracle(compiled, hay))
