@@ -80,10 +80,51 @@ def test_fixedlen_halo_boundary():
     assert got.sum() == want.sum() >= 1
 
 
-def test_fixedlen_gates_on_mixed_lengths():
-    compiled = _build(["acgtacgt", "acgtacgta"])  # two lengths
+def test_fixedlen_two_lengths_supported():
+    # mixed k-mer panels (<= 3 distinct sizes) run as multiple fingerprint
+    # families over SHARED bloom tables
+    rng = random.Random(20)
+    words = _dna_words(rng, 120, L=20) + _dna_words(rng, 120, L=23)
+    compiled = _build(sorted(set(words)))
+    t = fixedlen.build_fixedlen_tables(compiled)
+    assert t is not None and len(t.families) == 2
+    hay = "".join(rng.choice("acgt") for _ in range(6000))
+    for w in (words[0], words[-1]):
+        p = rng.randrange(len(hay) - 30)
+        hay = hay[:p] + w + hay[p + len(w):]
+    got = _counts(compiled, hay)
+    assert got is not None
+    assert np.array_equal(got, _oracle(compiled, hay))
+    assert got.sum() >= 2
+
+
+def test_fixedlen_two_length_emission_reference_order():
+    # a shorter pattern that is a suffix of a longer one: both end at the
+    # same position and the longer must be emitted first
+    rng = random.Random(22)
+    filler = _dna_words(rng, 60, L=9) + _dna_words(rng, 60, L=12)
+    long_w = "acgtacgtacgt"   # 12
+    short_w = long_w[-9:]     # 9, suffix of long_w
+    words = sorted(set(filler + [long_w, short_w]))
+    compiled = _build(words)
+    hay = "tt" + long_w + "ttacg" + "".join(
+        rng.choice("acgt") for _ in range(3000)
+    )
+    c = _cls(compiled, hay)
+    got = fixedlen.emit_matches_fixedlen(compiled, c)
+    assert got is not None
+    want_pos, want_ids = engines.emit(compiled, c)
+    assert np.array_equal(got[0], want_pos)
+    assert np.array_equal(got[1], want_ids)
+
+
+def test_fixedlen_gates_on_many_lengths():
+    rng = random.Random(23)
+    words = []
+    for L in (8, 10, 12, 14, 16):  # 5 distinct sizes > _MAX_FAMILIES
+        words += _dna_words(rng, 10, L=L)
+    compiled = _build(sorted(set(words)))
     assert fixedlen.build_fixedlen_tables(compiled) is None
-    assert _counts(compiled, "acgtacgtacgt") is None
 
 
 def test_fixedlen_gates_on_short_patterns():
