@@ -90,6 +90,25 @@ def test_build_rss_bounded():
     )
     assert res.returncode == 0, res.stderr + res.stdout
     assert res.stdout.startswith("OK")
+    # track the measured RSS as an artifact so the 4 GB guard's margin to a
+    # dense-delta regression (~4.7 GB) stays observable across rounds
+    # (ADVICE r3); append-only log, one line per run
+    try:
+        import json
+        import time
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "logs",
+            "rss_1m_history.jsonl",
+        )
+        rss_mb = float(res.stdout.split()[1])
+        with open(path, "a") as f:
+            f.write(
+                json.dumps({"ts": int(time.time()), "rss_mb": rss_mb})
+                + "\n"
+            )
+    except OSError:
+        pass  # read-only checkouts: the assertion above is the guard
 
 
 def test_scan_exact_and_cascade_gates(big_automaton):
