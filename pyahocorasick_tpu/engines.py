@@ -141,13 +141,13 @@ _APPLICABLE = {
     "scan": {"seq", "numpy", "jax", "assoc"},
     "counts": {
         "seq", "numpy", "jax", "assoc",
-        "fixedlen", "fused", "cascade", "hotcold",
+        "fixedlen", "fused", "cascade", "hotcold", "sparse",
     },
     "emit": {"seq", "numpy", "jax", "assoc", "fixedlen", "cascade",
              "sparse"},
     "total": {
         "seq", "numpy", "jax", "assoc",
-        "fixedlen", "fused", "cascade", "hotcold", "stride",
+        "fixedlen", "fused", "cascade", "hotcold", "stride", "sparse",
     },
 }
 
@@ -301,8 +301,13 @@ def emit(
                 _jax_failed = True
             continue
         if name == "sparse":
+            # forced 'sparse' reaches here without the auto-chain guards:
+            # gate explicitly instead of raising (ADVICE r4)
             from . import native
 
+            if not native.available() or compiled.child_off is None:
+                _gated("sparse", "native core or sparse tables unavailable")
+                continue
             pos, pids, _ = native.scan_emit_sparse(compiled, cls, halo, base)
             last_engine["emit"] = "sparse"
             return pos, pids
@@ -396,12 +401,33 @@ def _counts_device_engine(name, compiled, cls, halo):
 
 
 def count_matches(
-    compiled: CompiledAutomaton, cls: np.ndarray, halo: np.ndarray | None = None
+    compiled: CompiledAutomaton,
+    cls: np.ndarray,
+    halo: np.ndarray | None = None,
+    _skip: frozenset = frozenset(),
 ) -> np.ndarray:
-    """Per-pattern int64 match counts for a haystack."""
+    """Per-pattern int64 match counts for a haystack.
+
+    ``_skip`` is internal: engines already tried (and gated) by a caller
+    higher in the dispatch — count_total's fallback passes them so the
+    expensive device kernels are not re-run just to gate again (ADVICE r4).
+    """
     global _jax_failed
     N = int(cls.size)
     for name in plan_chain(compiled, N, "counts"):
+        if name in _skip:
+            continue
+        if name == "sparse":
+            from . import native
+
+            if not native.available() or compiled.child_off is None:
+                _gated("sparse", "native core or sparse tables unavailable")
+                continue
+            _, pids, _ = native.scan_emit_sparse(compiled, cls, halo, 0)
+            last_engine["counts"] = "sparse"
+            return np.bincount(
+                pids, minlength=compiled.num_patterns
+            ).astype(np.int64)
         if name in ("fixedlen", "fused", "cascade", "hotcold"):
             try:
                 res = _counts_device_engine(name, compiled, cls, halo)
@@ -458,6 +484,7 @@ def count_total(
     """
     global _jax_failed
     N = int(cls.size)
+    tried: set = set()
     for name in plan_chain(compiled, N, "total"):
         if name == "stride":
             try:
@@ -471,18 +498,31 @@ def count_total(
             except ImportError:
                 _jax_failed = True
             continue
+        if name == "sparse":
+            from . import native
+
+            if not native.available() or compiled.child_off is None:
+                _gated("sparse", "native core or sparse tables unavailable")
+                continue
+            _, pids, _ = native.scan_emit_sparse(compiled, cls, halo, 0)
+            last_engine["total"] = "sparse"
+            return int(pids.size)
         if name in ("fixedlen", "fused", "cascade", "hotcold"):
             try:
                 res = _counts_device_engine(name, compiled, cls, halo)
                 if res is not None:
                     last_engine["total"] = name
                     return int(res.sum())
+                tried.add(name)  # gated: don't re-run it in the fallback
                 _gated(name, "engine gated or over budget")
             except ImportError:
                 _jax_failed = True
             continue
-        # remaining engines: reduce the per-pattern counts path
-        res = count_matches(compiled, cls, halo)
+        # remaining engines: reduce the per-pattern counts path, skipping
+        # device engines that already gated above (ADVICE r4: a runtime
+        # gate detected only after a full kernel dispatch must not pay
+        # that dispatch twice)
+        res = count_matches(compiled, cls, halo, _skip=frozenset(tried))
         last_engine["total"] = last_engine.get("counts", name)
         return int(res.sum())
     raise AssertionError("engine chain exhausted")  # pragma: no cover
