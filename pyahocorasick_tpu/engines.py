@@ -112,7 +112,11 @@ def _auto_chain(compiled: CompiledAutomaton, n: int, op: str) -> list[str]:
         # auto never pays the hot/cold table build; use a prebuilt one
         if compiled._cache.get("hotcold") is not None:
             chain.append("hotcold")
-    if op == "emit" and big_table:
+    if op == "emit" and accel:
+        # cascade emission also wins for SMALL automata: short matches are
+        # host LUT passes and l>=4 discovery runs the (dictionary-sized)
+        # fused kernel — the bilinear jax path must fetch a packed flag
+        # stream over the relay instead (VERDICT r4 item 3)
         chain += ["fixedlen", "cascade"]
     if op in ("emit", "counts", "total") and not device:
         # sparse pre-lowering scan: goto via child runs + fail chains beats

@@ -62,6 +62,19 @@ _BLK = 32  # block size for hierarchical candidate compaction
 
 _MULTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE35)
 
+# joint (last4, shifted-last4) pair key: odd multiplier so the mix is a
+# bijection of last4 for each fixed last4b (wrapping uint32); mirrored by
+# the device in ops/fused.py stage 2
+_C5 = 0x9E3779B9
+
+
+def _mix_pair(last4: np.ndarray, last4b: np.ndarray) -> np.ndarray:
+    return (
+        (last4.astype(np.uint64) * np.uint64(_C5)
+         + last4b.astype(np.uint64))
+        & np.uint64(0xFFFFFFFF)
+    ).astype(np.int64)
+
 
 def _bloom_tables(
     codes: np.ndarray, wbits_list: tuple = (_BLOOM_WBITS,) * 2
@@ -148,7 +161,9 @@ class CascadeTables:
         didx = np.nonzero((word_id >= 0) & (depth >= 4))[0]
         self.has4 = didx.size > 0
         self.bucket_off = np.zeros(1, np.int32)
+        self.bucket_keys = np.zeros(0, np.int64)
         self.cand_len = self.cand_start4 = self.cand_id = np.zeros(0, np.int32)
+        self.cand_anchor9 = np.zeros(0, np.int32)
         self.s4_words = np.zeros(1, np.int32)
         self.s4_rank = np.zeros(1, np.int32)
         # bloom configs: (wbits per hash table); 24 -> f32 table (393k bits,
@@ -176,12 +191,13 @@ class CascadeTables:
         self.codes_w4 = np.zeros(0, np.int64)
         self.codes_suf = np.zeros(0, np.int64)
         self.codes_sufb = np.zeros(0, np.int64)
+        self.codes_pair5 = np.zeros(0, np.int64)
         if self.has4:
             # last-4 / shifted-last-4 grams by ascending the parent chain
             lens = depth[didx].astype(np.int64)
             chain = didx.copy()
             tails = []  # edge classes from the end: l-1, l-2, ...
-            for _ in range(5):
+            for _ in range(8):
                 tails.append(edge_cls[chain].astype(np.int64))
                 chain = parent[chain]
             last4 = tails[0] + K * (
@@ -190,6 +206,12 @@ class CascadeTables:
             last4b = tails[1] + K * (
                 tails[2] + K * (tails[3] + K * tails[4])
             )  # only meaningful for l >= 5
+            # 4-gram ending 4 before the pattern end (chars l-8..l-5):
+            # the hash verify's terminal-8 anchor for lengths >= 9
+            # (garbage for l < 8 — only consumed where cand_len >= 9)
+            anchor9 = tails[4] + K * (
+                tails[5] + K * (tails[6] + K * tails[7])
+            )
             # first4: ascend to depth 4 then take that state's g-code
             cur = didx.copy()
             rem = lens - 4
@@ -207,9 +229,11 @@ class CascadeTables:
                 return
             self.bucket_max = int(sizes.max())
             self.bucket_off = np.append(start, last4_s.size).astype(np.int32)
+            self.bucket_keys = uniq.astype(np.int64)  # sorted distinct last4
             self.cand_len = lens[order].astype(np.int32)
             self.cand_start4 = first4[order].astype(np.int32)
             self.cand_id = word_id[didx][order]
+            self.cand_anchor9 = anchor9[order].astype(np.int32)
 
             # exact S4 bitmap over K^4 + rank prefix (popcount bucket index)
             space4 = K**4
@@ -240,6 +264,15 @@ class CascadeTables:
                 sufb_u = np.unique(last4b[deep])
                 self.codes_suf = suf_u
                 self.codes_sufb = sufb_u
+                # joint last-5-gram keys: a TRUE deep match has
+                # (g4(i), g4(i-1)) equal to some pattern's
+                # (last4, shifted-last4) PAIR — testing the pair kills the
+                # correlated suf x sufb survivors (~1e-3/char measured on
+                # the bench dictionary) that independent membership lets
+                # through, roughly halving the verify load (round-5)
+                self.codes_pair5 = np.unique(
+                    _mix_pair(last4[deep], last4b[deep])
+                )
                 self.ksuf = len(self.wbits_suf)
                 self.bsuf = _bloom_tables(suf_u, self.wbits_suf)
                 self.bsufb = _bloom_tables(sufb_u, self.wbits_suf)

@@ -97,11 +97,12 @@ def _bloom_build(codes: np.ndarray, mult: int, rows: int, wbits: int):
     return words.astype(dt).reshape(rows, 128)
 
 
-def _bloom_pass_rate(tab: np.ndarray, mult: int, wbits: int, n=1 << 16):
+def _bloom_pass_rate(tab: np.ndarray, mult: int, wbits: int, n=1 << 16,
+                     span: int = 1 << 24):
     """Measured P(uniform random code passes the k-in-word test)."""
     rows = tab.shape[0]
     rng = np.random.default_rng(12345)
-    codes = rng.integers(0, 1 << 24, n)
+    codes = rng.integers(0, span, n)
     w, bits = _hash_parts(codes, mult, rows * 128, wbits)
     words = np.asarray(tab, np.float64).reshape(-1).astype(np.int64)
     ww = words[w]
@@ -126,15 +127,35 @@ class FusedTables:
         # makes K**4 <= 2**24; a future _MAX_K bump must widen the packing)
         if ct.K ** 4 > 1 << 24:
             return
-        r1 = r1 or int(os.environ.get("PYAHOCORASICK_TPU_B1_ROWS", 256))
+        deep_codes = np.union1d(ct.codes_suf, ct.codes_sufb)
+        # table rows scale with the dictionary (pow2, floors): stage-1 MXU
+        # cost is proportional to r1, so a 30-pattern dictionary must not
+        # stream the 100k-pattern table (~4.4 bloom bits/key at the floor
+        # keeps the measured fp profile of the fixed 256 rows of round 4)
+        if r1 is None:
+            env = os.environ.get("PYAHOCORASICK_TPU_B1_ROWS")
+            r1 = (
+                int(env)
+                if env
+                else min(max(_pow2(-(-int(deep_codes.size) // 1024)), 64),
+                         4096)
+            )
         if r1 & (r1 - 1):
             r1 = 1 << (r1 - 1).bit_length()  # hashing needs pow2 word counts
-        # W4 is bf16 (0.17 ns/char per 128 rows, PLAN.md): rows are cheap, so
-        # default 256 keeps p_w4 well under the deep bloom's p^2 term
-        r4 = r4 or int(os.environ.get("PYAHOCORASICK_TPU_W4_ROWS", 256))
+        if r4 is None:
+            # in-word k=2 blooms scale LINEARLY at low fill (a lone key in
+            # a word passes a matching probe at (1/4)^2; measured fp ~=
+            # load/16), so ~8 words/key reproduces the round-4 fp of the
+            # flat 256-row table at the bench dictionary
+            env = os.environ.get("PYAHOCORASICK_TPU_W4_ROWS")
+            r4 = (
+                int(env)
+                if env
+                else min(max(_pow2(-(-int(ct.codes_w4.size) // 16)), 64),
+                         1024)
+            )
         if r4 & (r4 - 1):
             r4 = 1 << (r4 - 1).bit_length()
-        deep_codes = np.union1d(ct.codes_suf, ct.codes_sufb)
         self.has5 = ct.has5
         self.has_w4 = ct.codes_w4.size > 0
         self.r1 = r1
@@ -149,23 +170,30 @@ class FusedTables:
             [(w24 >> (8 * t)) & 0xFF for t in range(3)]
         )  # (3, r1, 128) int
         self.W4 = _bloom_build(ct.codes_w4, _M2, r4, _WBITS_BF16)
-        # stage-2: five bf16 256-row tables, applied IN-KERNEL to the
-        # compacted per-tile candidates (order: code-M2, code-M3, prev-M2,
-        # prev-M3 for the deep families; code-M3 for w4)
-        r2s = 256
-        self.S2 = np.stack(
+        # stage-2 deep test: TWO bf16 tables keyed on the JOINT
+        # (g4(i), g4(i-1)) pair key — the patterns' actual last-5-grams
+        # (cascade._mix_pair) — instead of independent suf/sufb membership.
+        # Independent tests pass every CORRELATED pair (g4(i) in suf AND
+        # g4(i-1) in sufb with no pattern joining them), measured ~1e-3/char
+        # on the 100k bench dictionary: the dominant verify load.  The pair
+        # key kills those at bloom-fp rate, and costs 2 bloom_cols instead
+        # of 4.  Rows scale with the pair-key count (~n deep patterns).
+        n5 = int(ct.codes_pair5.size)
+        r2p = 1 << max(int(6 * n5 / 1024 - 1).bit_length(), 8)
+        r2p = min(max(r2p, 256), 2048)
+        self.r2p = r2p
+        self.S2P = np.stack(
             [
                 np.asarray(x, np.float32)
                 for x in (
-                    _bloom_build(ct.codes_suf, _M2, r2s, _WBITS_BF16),
-                    _bloom_build(ct.codes_suf, _M3, r2s, _WBITS_BF16),
-                    _bloom_build(ct.codes_sufb, _M2, r2s, _WBITS_BF16),
-                    _bloom_build(ct.codes_sufb, _M3, r2s, _WBITS_BF16),
-                    _bloom_build(ct.codes_w4, _M3, r2s, _WBITS_BF16),
+                    _bloom_build(ct.codes_pair5, _M2, r2p, _WBITS_BF16),
+                    _bloom_build(ct.codes_pair5, _M3, r2p, _WBITS_BF16),
                 )
             ]
-        )  # (5, 256, 128)
-        self.r2s = r2s
+        )  # (2, r2p, 128)
+        self.S2W = np.asarray(
+            _bloom_build(ct.codes_w4, _M3, 256, _WBITS_BF16), np.float32
+        ).reshape(1, 256, 128)
 
         # expected stage-1 survivor rate on uniform input: gates the engine
         # (a saturated bloom would overflow the in-kernel compaction caps)
@@ -175,13 +203,12 @@ class FusedTables:
         )
         self.s1_est = p_b1 * p_b1 + p_w4
         # final (post-stage-2) survivor-rate estimate, for post budgets
-        p2 = [
-            _bloom_pass_rate(self.S2[i], m, _WBITS_BF16)
-            for i, m in ((0, _M2), (1, _M3), (2, _M2), (3, _M3), (4, _M3))
-        ]
-        self.fin_est = (
-            p_b1 * p_b1 * p2[0] * p2[1] * p2[2] * p2[3] + p_w4 * p2[4]
-        )
+        span32 = 1 << 32  # pair keys span full uint32
+        p5a = _bloom_pass_rate(self.S2P[0], _M2, _WBITS_BF16, span=span32)
+        p5b = _bloom_pass_rate(self.S2P[1], _M3, _WBITS_BF16, span=span32)
+        p2w = _bloom_pass_rate(self.S2W[0], _M3, _WBITS_BF16)
+        self.p5_joint = p5a * p5b
+        self.fin_est = p_b1 * p_b1 * p5a * p5b + p_w4 * p2w
         # per-tile candidate occupancy gate: mean stage-1 survivors per tile
         # plus 5 sigma must fit the _CAP in-kernel slots (binomial tail; a
         # runtime per-tile overflow check still guards the exactness)
@@ -205,7 +232,8 @@ class FusedTables:
                     np.ascontiguousarray(np.asarray(self.W4, np.float32).T),
                     dtype=jnp.bfloat16,
                 ),
-                "S2": jnp.asarray(self.S2, dtype=jnp.bfloat16),
+                "S2P": jnp.asarray(self.S2P, dtype=jnp.bfloat16),
+                "S2W": jnp.asarray(self.S2W, dtype=jnp.bfloat16),
             }
         return self._dev
 
@@ -290,11 +318,16 @@ _CAP = int(os.environ.get("PYAHOCORASICK_TPU_FUSED_CAP", 256))
 # two-level compaction over n_tiles*_CAP entries cost ~1.4 ns/char in
 # XLA gathers (measured), dwarfing the kernel itself.
 _FIN = int(os.environ.get("PYAHOCORASICK_TPU_FUSED_FIN", 16))
-_OUT_W = 4 * _FIN    # [pos(F) | code(F) | fin_cnt(F) | s1_cnt(F)]
+# out layout: [pos | code | pv4 | fin_cnt | s1_cnt] x F
+# (pv4 = g4 code at ep-4: the hash verify's gather-free anchor window)
+_OUT_COLS = 5
+
+# device mirror of cascade._C5 (joint last-5 pair key)
+_C5 = 0x9E3779B9
 
 
-def _make_flags_kernel(K: int, r1: int, r4: int, tile: int, ov: int,
-                       has5: bool, has_w4: bool, cap: int = _CAP,
+def _make_flags_kernel(K: int, r1: int, r4: int, r2p: int, tile: int,
+                       ov: int, has5: bool, has_w4: bool, cap: int = _CAP,
                        fin_slots: int = _FIN):
     """One-pass fused kernel: g4 codes built IN-KERNEL from the raw class
     stream (two lane rolls — the round-3 XLA prep of pads/multiplies over
@@ -319,7 +352,8 @@ def _make_flags_kernel(K: int, r1: int, r4: int, tile: int, ov: int,
     n = tile + ov
     K2 = K * K
 
-    def kernel(b1T_ref, w4T_ref, s2_ref, cls_ref, prev_ref, out_ref):
+    def kernel(b1T_ref, w4T_ref, s2p_ref, s2w_ref, cls_ref, prev_ref,
+               out_ref):
         # prev_ref is the PREVIOUS tile's block (same array, index map
         # t-1): its last `ov` lanes are the overlap history.  Tile 0 sees
         # its own block there — i.e. garbage history — but g4 codes only
@@ -417,6 +451,10 @@ def _make_flags_kernel(K: int, r1: int, r4: int, tile: int, ov: int,
         gi = g.astype(jnp.int32)
         cand_ck = pick(gi | (kind << 24))          # code (24b) | kind
         cand_prev = pick(pltpu.roll(gi, 1, axis=1))
+        # g4 at ep-4 (chars ep-7..ep-4): the hash verify's gather-free
+        # anchor window — lengths 5..8 start inside it (low digits) and
+        # lengths >= 9 compare their own 4-gram at pattern end-4 (round-5)
+        cand_prev4 = pick(pltpu.roll(gi, 4, axis=1))
         cand_pos = pick(lane - ov)
         cand_code = cand_ck & 0xFFFFFF
         cand_kind = cand_ck >> 24
@@ -451,16 +489,18 @@ def _make_flags_kernel(K: int, r1: int, r4: int, tile: int, ov: int,
         u2 = cand_code.astype(jnp.uint32)
         upv = cand_prev.astype(jnp.uint32)
         if has5:
+            # joint last-5 pair key (host mirror: cascade._mix_pair) —
+            # correlated (suf, sufb) pairs with no pattern joining them
+            # fail these at bloom-fp rate instead of passing outright
+            u5 = (u2 * jnp.uint32(_C5) + upv).astype(jnp.uint32)
             d2 = (
-                bloom_col(s2_ref[0], u2, _M2)
-                & bloom_col(s2_ref[1], u2, _M3)
-                & bloom_col(s2_ref[2], upv, _M2)
-                & bloom_col(s2_ref[3], upv, _M3)
+                bloom_col(s2p_ref[0], u5, _M2)
+                & bloom_col(s2p_ref[1], u5, _M3)
             )
         else:
             d2 = jnp.zeros((cap, 1), jnp.int32)
         if has_w4:
-            w2b = bloom_col(s2_ref[4], u2, _M3)
+            w2b = bloom_col(s2w_ref[0], u2, _M3)
         else:
             w2b = jnp.zeros((cap, 1), jnp.int32)
         kd = cand_kind & 1
@@ -475,6 +515,7 @@ def _make_flags_kernel(K: int, r1: int, r4: int, tile: int, ov: int,
         gpos = cand_pos + pl.program_id(0) * tile  # global end positions
         prow = (eye * gpos).sum(axis=0, keepdims=True)  # (1, CAP)
         crow = (eye * cand_code).sum(axis=0, keepdims=True)
+        pv_rows = [(eye * cand_prev4).sum(axis=0, keepdims=True)]
         frow = (eye * fin).sum(axis=0, keepdims=True)
 
         # ---- second in-tile compaction: fin survivors -> _FIN row slots
@@ -492,6 +533,9 @@ def _make_flags_kernel(K: int, r1: int, r4: int, tile: int, ov: int,
         sel2 = ((slot2 == iota_f) & (frow > 0)).astype(jnp.int32)
         pcol = (sel2 * prow).sum(axis=1, keepdims=True)  # (fin_slots, 1)
         ccol = (sel2 * crow).sum(axis=1, keepdims=True)
+        pvcols = [
+            (sel2 * pvr).sum(axis=1, keepdims=True) for pvr in pv_rows
+        ]
         # mark empty slots with -1 positions
         vcol = (sel2 * jnp.ones((1, cap), jnp.int32)).sum(
             axis=1, keepdims=True
@@ -503,20 +547,24 @@ def _make_flags_kernel(K: int, r1: int, r4: int, tile: int, ov: int,
         ).astype(jnp.int32)
         prow2 = (eyef * pcol).sum(axis=0, keepdims=True)  # (1, fin_slots)
         crow2 = (eyef * ccol).sum(axis=0, keepdims=True)
+        pvrow2 = [
+            (eyef * pvc).sum(axis=0, keepdims=True) for pvc in pvcols
+        ]
         out_ref[0] = jnp.concatenate(
             [
                 prow2,
                 crow2,
+                *pvrow2,
                 jnp.broadcast_to(fin_cnt, (1, fin_slots)),
                 jnp.broadcast_to(total, (1, fin_slots)),
             ],
             axis=1,
-        )  # (1, 4*fin_slots)
+        )  # (1, _OUT_COLS*fin_slots)
 
     return kernel
 
 
-def _flags_call(K: int, r1: int, r4: int, r2s: int, tile: int, ov: int,
+def _flags_call(K: int, r1: int, r4: int, r2p: int, tile: int, ov: int,
                 n_tiles: int, has5: bool, has_w4: bool, interpret: bool,
                 cap: int = _CAP, fin_slots: int = _FIN):
     """One GRIDDED pallas_call over all tiles: a single compiled kernel with
@@ -528,15 +576,16 @@ def _flags_call(K: int, r1: int, r4: int, r2s: int, tile: int, ov: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = _make_flags_kernel(K, r1, r4, tile, ov, has5, has_w4, cap,
-                                fin_slots)
+    kernel = _make_flags_kernel(K, r1, r4, r2p, tile, ov, has5, has_w4,
+                                cap, fin_slots)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((384, r1), lambda t: (0, 0)),
             pl.BlockSpec((128, r4), lambda t: (0, 0)),
-            pl.BlockSpec((5, r2s, 128), lambda t: (0, 0, 0)),
+            pl.BlockSpec((2, r2p, 128), lambda t: (0, 0, 0)),
+            pl.BlockSpec((1, 256, 128), lambda t: (0, 0, 0)),
             pl.BlockSpec((1, 1, tile), lambda t: (t, 0, 0)),
             # previous tile of the SAME class array (overlap history);
             # building a shifted ovmat in XLA cost two full-stream passes
@@ -545,10 +594,10 @@ def _flags_call(K: int, r1: int, r4: int, r2s: int, tile: int, ov: int,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 4 * fin_slots), lambda t: (t, 0, 0)
+            (1, 1, _OUT_COLS * fin_slots), lambda t: (t, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles, 1, 4 * fin_slots), jnp.int32
+            (n_tiles, 1, _OUT_COLS * fin_slots), jnp.int32
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
@@ -574,28 +623,30 @@ def _use_interpret() -> bool:
 # slack, measured 436 ns/slot).
 
 
-def _make_flags_fn(K: int, r1: int, r4: int, r2s: int, n_tiles: int,
+def _make_flags_fn(K: int, r1: int, r4: int, r2p: int, n_tiles: int,
                    vbuf: int, fin_slots: int, has5: bool, has_w4: bool,
                    interpret: bool):
     """jit: int8 classes (padded to n_tiles*_TILE) ->
-    (posbuf (vbuf,), codebuf (vbuf,), totals[s1_max, fin_max, total])."""
+    (posbuf (vbuf,), codebuf (vbuf,), pvbufs (4, vbuf),
+    totals[s1_max, fin_max, total])."""
     import jax
     import jax.numpy as jnp
 
     T, OV, F = _TILE, _OVERLAP, fin_slots
-    call = _flags_call(K, r1, r4, r2s, T, OV, n_tiles, has5, has_w4,
+    call = _flags_call(K, r1, r4, r2p, T, OV, n_tiles, has5, has_w4,
                        interpret, _CAP, fin_slots)
 
-    def fn(cls_i8, b1T_tab, w4T_tab, s2_tab):
+    def fn(cls_i8, b1T_tab, w4T_tab, s2p_tab, s2w_tab):
         cls3 = cls_i8.reshape(n_tiles, 1, T)
-        cand = call(b1T_tab, w4T_tab, s2_tab, cls3, cls3).reshape(
-            n_tiles, 4 * F
+        cand = call(b1T_tab, w4T_tab, s2p_tab, s2w_tab, cls3, cls3).reshape(
+            n_tiles, _OUT_COLS * F
         )
         pos_t = cand[:, :F]
         code_t = cand[:, F: 2 * F]
-        fcnt = jnp.minimum(cand[:, 2 * F], F)
-        s1max = cand[:, 3 * F].max()
-        fmax = cand[:, 2 * F].max()
+        pv_t = [cand[:, 2 * F: 3 * F]]
+        fcnt = jnp.minimum(cand[:, 3 * F], F)
+        s1max = cand[:, 4 * F].max()
+        fmax = cand[:, 3 * F].max()
         csum = jnp.cumsum(fcnt)
         total = csum[-1]
         off = csum - fcnt
@@ -612,7 +663,19 @@ def _make_flags_fn(K: int, r1: int, r4: int, r2s: int, n_tiles: int,
             .at[dst.reshape(-1)]
             .set(jnp.where(valid, code_t, 0).reshape(-1), mode="drop")
         )[:vbuf]
-        return posbuf, codebuf, jnp.stack([s1max, fmax, total])
+        pvbufs = jnp.stack(
+            [
+                (
+                    jnp.zeros((vbuf + 1,), jnp.int32)
+                    .at[dst.reshape(-1)]
+                    .set(
+                        jnp.where(valid, pv, 0).reshape(-1), mode="drop"
+                    )
+                )[:vbuf]
+                for pv in pv_t
+            ]
+        )
+        return posbuf, codebuf, pvbufs, jnp.stack([s1max, fmax, total])
 
     return jax.jit(fn)
 
@@ -765,6 +828,283 @@ def _make_post_verify(K, bucket_max, vbud, P, interpret,
     return jax.jit(fn)
 
 
+# ---------------------------------------------------------------------------
+# hash-table verify (round-5): replaces the ~11-gather S4/rank/bucket walk
+# with a 2-probe open-addressing lookup per candidate.  One table slot per
+# DISTINCT last-4-gram code carries everything the common case needs
+# inline: the (unique) length-4 pattern id, and the first deep entry's
+# (anchor code, anchor selector, id).  Start anchors are compared against
+# the kernel-emitted g4 codes at ep-1..ep-4 — zero gathers.  Rare cases
+# (probe clusters > 2, buckets with >= 2 deep entries) compact into a side
+# list that pays the classic bucket walk.
+
+_HM = 0xB4B82E39  # odd multiplicative hash for the verify table
+
+
+class HashVerifyTables:
+    """Open-addressing table over distinct last-4 codes of l>=4 patterns."""
+
+    def __init__(self, ct: _c.CascadeTables):
+        self.ok = False
+        n_uniq = int(ct.bucket_keys.size)
+        if n_uniq == 0 or ct.num_patterns >= (1 << 24):
+            return
+        keys = ct.bucket_keys.astype(np.int64)
+        sizes = np.diff(ct.bucket_off).astype(np.int64)
+        bucket_of = np.repeat(np.arange(n_uniq, dtype=np.int64), sizes)
+        lens = ct.cand_len.astype(np.int64)
+        has_l4 = np.zeros(n_uniq, np.int64)
+        l4_id = np.zeros(n_uniq, np.int64)
+        m4 = lens == 4
+        has_l4[bucket_of[m4]] = 1
+        l4_id[bucket_of[m4]] = ct.cand_id[m4]
+        deep = lens >= 5
+        dloc = np.nonzero(deep)[0]
+        nd = np.bincount(bucket_of[dloc], minlength=n_uniq)
+        first_deep = np.full(n_uniq, 0, np.int64)
+        first_deep[bucket_of[dloc[::-1]]] = dloc[::-1]  # first entry wins
+        cl = lens[first_deep]
+        sel = np.minimum(np.maximum(cl - 4, 1), 5)
+        # anchor values against the kernel's pv4 (= g4 code of chars
+        # ep-7..ep-4): lengths 5..7 start INSIDE that window, so their
+        # anchor is the pattern's first (cl-4) chars = the TOP digits of
+        # start4, compared against pv4 mod K^(cl-4); length 8 compares the
+        # full start4; lengths >= 9 compare their own 4-gram at pattern
+        # end-4 (cand_anchor9)
+        K = int(ct.K)
+        start4 = ct.cand_start4[first_deep].astype(np.int64)
+        kpow = np.int64(K) ** np.minimum(4 - np.minimum(sel, 4), 3)
+        anchor = np.where(
+            sel <= 3,
+            start4 // kpow,
+            np.where(
+                cl <= 8, start4,
+                ct.cand_anchor9[first_deep].astype(np.int64),
+            ),
+        )
+        meta = (
+            l4_id
+            | (has_l4 << 24)
+            | ((nd >= 1).astype(np.int64) << 25)
+            | ((nd >= 2).astype(np.int64) << 26)
+        )
+        d1 = anchor | (sel << 24)
+        d2 = ct.cand_id[first_deep].astype(np.int64)
+
+        H = max(1 << int(max(4 * n_uniq - 1, 1)).bit_length(), 1 << 10)
+        self.lgH = H.bit_length() - 1
+        hv_key = np.full(H, -1, np.int64)
+        slot_of = np.full(n_uniq, -1, np.int64)
+        h0 = (
+            (keys.astype(np.uint64) * np.uint64(_HM))
+            & np.uint64(0xFFFFFFFF)
+        ) >> np.uint64(32 - self.lgH)
+        h0 = h0.astype(np.int64)
+        dist = np.zeros(n_uniq, np.int64)
+        pending = np.arange(n_uniq)
+        for _ in range(4 * self.lgH + 64):
+            if pending.size == 0:
+                break
+            slots = (h0[pending] + dist[pending]) & (H - 1)
+            free = hv_key[slots] == -1
+            fidx = np.nonzero(free)[0]
+            if fidx.size:
+                fs = slots[fidx]
+                _, first = np.unique(fs, return_index=True)
+                winners = fidx[first]
+                hv_key[slots[winners]] = keys[pending[winners]]
+                slot_of[pending[winners]] = slots[winners]
+                placed = np.zeros(pending.size, bool)
+                placed[winners] = True
+                pending = pending[~placed]
+            dist[pending] += 1
+        if pending.size:
+            return  # pathological clustering: keep the bucket walk
+        meta_t = np.zeros(H, np.int64)
+        d1_t = np.zeros(H, np.int64)
+        d2_t = np.zeros(H, np.int64)
+        meta_t[slot_of] = meta
+        d1_t[slot_of] = d1
+        d2_t[slot_of] = d2
+        self.key = hv_key.astype(np.int32)
+        self.meta = meta_t.astype(np.int32)
+        self.d1 = d1_t.astype(np.int32)
+        self.d2 = d2_t.astype(np.int32)
+        self.ok = True
+
+    def device_arrays(self):
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_dev"):
+            self._dev = {
+                "key": jnp.asarray(self.key),
+                "meta": jnp.asarray(self.meta),
+                "d1": jnp.asarray(self.d1),
+                "d2": jnp.asarray(self.d2),
+            }
+        return self._dev
+
+
+def build_hash_verify(
+    compiled: CompiledAutomaton, ct: _c.CascadeTables
+) -> Optional[HashVerifyTables]:
+    cache = compiled._cache
+    if "hashverify" not in cache:
+        try:
+            t = HashVerifyTables(ct)
+            cache["hashverify"] = t if t.ok else None
+        except MemoryError:
+            cache["hashverify"] = None
+    return cache["hashverify"]
+
+
+def _make_post_verify_hash(K, bucket_max, lgH, vbud, P, interpret):
+    """jit: (posbuf, codebuf, pv1..pv4, cls_i8, vstart, n_valid, d, hv) ->
+    (counts32, counts16, deep_pos, deep_id, dtot, mtot) — the hash-probe
+    verify.  Phase 1 resolves every candidate whose key lands within two
+    probes and whose bucket holds at most one deep entry; the rest compact
+    into an mbud side list that runs the classic bucket walk (l==4 counting
+    there is gated to unresolved slots so nothing counts twice).  ``mtot``
+    reports side-list occupancy: an overflow makes the caller re-dispatch
+    the flat bucket-walk program, so exactness never rides the fast path."""
+    import jax
+    import jax.numpy as jnp
+
+    from .cascade import _DEEP_BUDGET, _compact
+
+    mbud = max(vbud // 4, 1 << 10)
+    H = 1 << lgH
+
+    def fn(posbuf, codebuf, pv4, totals3, cls_i8, vstart, n_valid, d,
+           hv):
+        counts = jnp.zeros((P + 1,), jnp.int32)
+        ep = posbuf
+        cval = (ep >= jnp.maximum(vstart, 3)) & (ep < n_valid)
+        eg4 = codebuf
+        u = eg4.astype(jnp.uint32)
+        h0 = ((u * jnp.uint32(_HM)) >> jnp.uint32(32 - lgH)).astype(
+            jnp.int32
+        )
+        h1 = (h0 + 1) & (H - 1)
+        k0 = jnp.take(hv["key"], h0, mode="clip")
+        k1 = jnp.take(hv["key"], h1, mode="clip")
+        m0 = k0 == eg4
+        found = m0 | (k1 == eg4)
+        hm = jnp.where(m0, h0, h1)
+        meta = jnp.take(hv["meta"], hm, mode="clip")
+        is4 = cval & found & (((meta >> 24) & 1) > 0)
+        counts = counts.at[jnp.where(is4, meta & 0xFFFFFF, P)].add(
+            1, mode="drop"
+        )
+        hasd = ((meta >> 25) & 1) > 0
+        multi = ((meta >> 26) & 1) > 0
+        d1 = jnp.take(hv["d1"], hm, mode="clip")
+        anchor = d1 & 0xFFFFFF
+        sel = d1 >> 24
+        # lengths 5..7 start inside pv4's window: compare its low digits
+        modm = jnp.where(sel == 1, K, jnp.where(sel == 2, K * K, K**3))
+        pkv = jnp.where(sel <= 3, pv4 % modm, pv4)
+        okd = cval & found & hasd & ~multi & (pkv == anchor)
+        dbuf, dtot1 = _compact(okd.astype(jnp.int32), _DEEP_BUDGET)
+        dvalid = dbuf >= 0
+        di = jnp.maximum(dbuf, 0)
+        deep_pos = jnp.where(dvalid, jnp.take(ep, di, mode="clip"), -1)
+        deep_id = jnp.where(
+            dvalid,
+            jnp.take(hv["d2"], jnp.take(hm, di, mode="clip"), mode="clip"),
+            -1,
+        )
+
+        # ---- side list: unresolved probes or multi-deep buckets
+        unresolved = cval & ~found & (k0 != -1) & (k1 != -1)
+        sidefl = (unresolved | (cval & found & multi & hasd)).astype(
+            jnp.int32
+        )
+        mbuf, mtot = _compact(sidefl, mbud)
+        mvalid = mbuf >= 0
+        mi = jnp.maximum(mbuf, 0)
+        mep = jnp.take(ep, mi, mode="clip")
+        meg4 = jnp.take(eg4, mi, mode="clip")
+        allow4 = jnp.take(unresolved.astype(jnp.int32), mi, mode="clip") > 0
+        w = jnp.take(d["s4_words"], meg4 >> 5, mode="clip")
+        hit = mvalid & (((w >> (meg4 & 31)) & 1) > 0)
+        rank = jnp.take(
+            d["s4_rank"], meg4 >> 5, mode="clip"
+        ) + jax.lax.population_count(
+            w & ((jnp.int32(1) << (meg4 & 31)) - 1)
+        )
+        off = jnp.take(d["bucket_off"], rank, mode="clip")
+        end = jnp.take(d["bucket_off"], rank + 1, mode="clip")
+
+        def g4_of(pos):
+            def cc(q):
+                return jnp.take(
+                    cls_i8, jnp.clip(q, 0, n_valid - 1), mode="clip"
+                ).astype(jnp.int32)
+
+            return (
+                ((cc(pos - 3) * K + cc(pos - 2)) * K + cc(pos - 1)) * K
+                + cc(pos)
+            )
+
+        mb = max(bucket_max, 1)
+        mdeep_flag = jnp.zeros((mbud, mb), jnp.int32)
+        mdeep_ids = jnp.zeros((mbud, mb), jnp.int32)
+        for t in range(bucket_max):
+            ci = off + t
+            live = hit & (ci < end)
+            clv = jnp.take(d["cand_len"], ci, mode="clip")
+            cs4 = jnp.take(d["cand_start4"], ci, mode="clip")
+            cid = jnp.take(d["cand_id"], ci, mode="clip")
+            sp = mep - clv + 4
+            inb = live & (sp >= 3)
+            okstart = inb & (g4_of(jnp.maximum(sp, 0)) == cs4)
+            is4s = okstart & (clv == 4) & allow4
+            counts = counts.at[jnp.where(is4s, cid, P)].add(1, mode="drop")
+            isdeep = okstart & (clv >= 5)
+            mdeep_flag = mdeep_flag.at[:, t].set(isdeep.astype(jnp.int32))
+            mdeep_ids = mdeep_ids.at[:, t].set(cid)
+
+        dbuf2, dtot2 = _compact(mdeep_flag.reshape(-1), _DEEP_BUDGET)
+        dvalid2 = dbuf2 >= 0
+        di2 = jnp.maximum(dbuf2, 0)
+        deep_pos2 = jnp.where(
+            dvalid2, jnp.take(mep, di2 // mb, mode="clip"), -1
+        )
+        deep_id2 = jnp.where(
+            dvalid2, jnp.take(mdeep_ids.reshape(-1), di2, mode="clip"), -1
+        )
+        deep_pos = jnp.concatenate([deep_pos, deep_pos2])
+        deep_id = jnp.concatenate([deep_id, deep_id2])
+        dtot = dtot1 + dtot2
+        idx = jnp.arange(deep_pos.shape[0], dtype=jnp.int32)
+        take_from = jnp.where(idx < dtot1, idx, idx - dtot1 + _DEEP_BUDGET)
+        deep_pos = jnp.take(deep_pos, take_from, mode="clip")
+        deep_id = jnp.take(deep_id, take_from, mode="clip")
+        deep_pos = jnp.where(idx < dtot, deep_pos, -1)[:_DEEP_BUDGET]
+        deep_id = jnp.where(idx < dtot, deep_id, -1)[:_DEEP_BUDGET]
+
+        c32 = counts[:P]
+        # ONE fetched buffer: [hdr_lo(6) | hdr_hi(6) | counts16(P)] int16.
+        # The relay costs ~25-50 ms PER round trip (PLAN.md), so the
+        # totals from the flags jit, dtot, mtot, the counts-overflow flag
+        # and the counts all ride one int16 array; deep pairs pack into
+        # int64 and are fetched only when dtot > 0.
+        ovf = (c32.max() >= (1 << 15)).astype(jnp.int32)
+        hdr = jnp.stack(
+            [totals3[0], totals3[1], totals3[2], dtot, mtot, ovf]
+        )
+        lo = (hdr & 0xFFFF).astype(jnp.int16)
+        hi = ((hdr >> 16) & 0xFFFF).astype(jnp.int16)
+        packed = jnp.concatenate([lo, hi, c32.astype(jnp.int16)])
+        # deep pairs interleaved [pos0, id0, pos1, id1, ...]: one prefix
+        # fetch of 2*dtot int32 when deep candidates exist
+        deep_pairs = jnp.stack([deep_pos, deep_id], axis=1).reshape(-1)
+        return c32, packed, deep_pairs
+
+    return jax.jit(fn)
+
+
 _FLAGS_CACHE: dict = {}
 _POST_CACHE: dict = {}
 
@@ -773,17 +1113,20 @@ def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
-def _true_rate(ct, K: int) -> float:
-    """Estimated TRUE candidate rate on uniform text: l4 pattern hits plus
-    correlated deep-suffix pairs (shared by _budgets and the speculative
-    verify sizing)."""
+def _true_rate(ft, ct, K: int) -> float:
+    """Estimated TRUE candidate rate on uniform text: l4 pattern hits, real
+    last-5-gram hits, plus the correlated deep-suffix pairs DAMPED by the
+    stage-2 pair-key bloom (they no longer pass outright — round-5)."""
     k4 = float(K) ** 4
+    k5 = float(K) ** 5
     # the suf/sufb pair correlation factor is measured: actual survivor
     # rate at the 100k-pattern bench dictionary is ~4.6x the independence
-    # product (round-4 probe); 8x keeps headroom without the 50x round-3
-    # guess that inflated every budget ~5x (and with it the verify cost)
-    return ct.codes_w4.size / k4 + 8.0 * (
-        (ct.codes_suf.size / k4) * (ct.codes_sufb.size / k4)
+    # product (round-4 probe); 8x keeps headroom
+    corr = 8.0 * ((ct.codes_suf.size / k4) * (ct.codes_sufb.size / k4))
+    return (
+        ct.codes_w4.size / k4
+        + ct.codes_pair5.size / k5
+        + corr * getattr(ft, "p5_joint", 1.0)
     )
 
 
@@ -792,7 +1135,7 @@ def _fin_slots_for(ft, ct, K: int) -> int:
     bench: ~3 survivors per 2048-tile) use the cheap minimum; dense-match
     dictionaries (small alphabets / short patterns, where true candidates
     are plentiful) scale up to _CAP so the engine still engages."""
-    mu = (ft.fin_est + _true_rate(ct, K)) * (_TILE + _OVERLAP)
+    mu = (ft.fin_est + _true_rate(ft, ct, K)) * (_TILE + _OVERLAP)
     need = _pow2(int(mu + 5.0 * (mu**0.5) + 1))
     return max(_FIN, min(_CAP, need))
 
@@ -804,7 +1147,7 @@ def _vbuf_budget(n_tiles: int, ft, ct, K: int, fin_slots: int) -> int:
     buffer bytes (unlike the verify budget, whose cost scales with it)."""
     m = n_tiles * fin_slots
     N = n_tiles * _TILE
-    rate = ft.fin_est + _true_rate(ct, K)
+    rate = ft.fin_est + _true_rate(ft, ct, K)
     return min(_pow2(m), max(1 << 15, _pow2(N * rate * 8)))
 
 
@@ -847,7 +1190,7 @@ def _flags_run(compiled, ct, ft, full, N, staged):
     )
 
     interp = _use_interpret()
-    fkey = (K, ft.r1, ft.r4, ft.r2s, n_tiles, vbuf, fin_slots,
+    fkey = (K, ft.r1, ft.r4, ft.r2p, n_tiles, vbuf, fin_slots,
             ft.has5, ft.has_w4, interp)
     if fkey not in _FLAGS_CACHE:
         from ..utils.compile_cache import ensure_compile_cache
@@ -863,11 +1206,11 @@ def _flags_run(compiled, ct, ft, full, N, staged):
         cls_dev = jnp.asarray(pad)
 
     ftd = ft.device_arrays()
-    posbuf, codebuf, totals_dev = _FLAGS_CACHE[fkey](
-        cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2"]
+    posbuf, codebuf, pvbufs, totals_dev = _FLAGS_CACHE[fkey](
+        cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2P"], ftd["S2W"]
     )
-    return (posbuf, codebuf, totals_dev, cls_dev, K, Npad, fin_slots,
-            vbuf, interp)
+    return (posbuf, codebuf, pvbufs, totals_dev, cls_dev, K, Npad,
+            fin_slots, vbuf, interp)
 
 
 def count_matches_fused(
@@ -917,8 +1260,8 @@ def count_matches_fused(
         host_thread = threading.Thread(target=_host_hist)
         host_thread.start()
 
-    (posbuf, codebuf, totals_dev, cls_dev, K, Npad, fin_slots, vbuf,
-     interp) = _flags_run(compiled, ct, ft, full, N, staged)
+    (posbuf, codebuf, pvbufs, totals_dev, cls_dev, K, Npad, fin_slots,
+     vbuf, interp) = _flags_run(compiled, ct, ft, full, N, staged)
     from .cascade import _DEEP_BUDGET
 
     # Verify sizing: the verify's cost scales with its budget (measured
@@ -931,10 +1274,24 @@ def count_matches_fused(
     if rate_meas is not None:
         est = rate_meas * 1.05  # pow2 rounding supplies the real headroom
     else:
-        est = (ft.fin_est + _true_rate(ct, K)) * 4
+        est = (ft.fin_est + _true_rate(ft, ct, K)) * 4
     vbud = min(max(_pow2(int(est * Npad)), 1 << 13), vbuf)
 
-    def _verify(vb, two_phase=True):
+    hv = build_hash_verify(compiled, ct)
+
+    hv_dev = hv.device_arrays() if hv is not None else None
+
+    def _verify_hash(vb):
+        vkey = ("hash", K, max(ct.bucket_max, 1), hv.lgH, vb,
+                ct.num_patterns, interp)
+        if vkey not in _POST_CACHE:
+            _POST_CACHE[vkey] = _make_post_verify_hash(*vkey[1:])
+        return _POST_CACHE[vkey](
+            posbuf[:vb], codebuf[:vb], pvbufs[0][:vb], totals_dev,
+            cls_dev, np.int32(vstart), np.int32(N), dev, hv_dev,
+        )
+
+    def _verify_bucket(vb, two_phase=True):
         vkey = (K, max(ct.bucket_max, 1), vb, ct.num_patterns, interp,
                 two_phase)
         if vkey not in _POST_CACHE:
@@ -944,8 +1301,26 @@ def count_matches_fused(
             np.int32(N), dev
         )
 
-    counts32, counts16, deep_pos, deep_id, dtot, mtot = _verify(vbud)
-    totals = np.asarray(totals_dev)
+    def _parse_packed(ph):
+        hdr = (
+            (ph[6:12].view(np.uint16).astype(np.int64) << 16)
+            | ph[0:6].view(np.uint16).astype(np.int64)
+        )
+        return hdr, ph[12:]
+
+    counts = deep64 = None
+    dtot = 0
+    if hv is not None:
+        c32_dev, packed_dev, deep64_dev = _verify_hash(vbud)
+        hdr, c16 = _parse_packed(np.asarray(packed_dev))  # ONE round trip
+        totals = hdr[:3]
+        dtot, mtot, ovf = int(hdr[3]), int(hdr[4]), int(hdr[5])
+    else:
+        counts32, counts16, deep_pos, deep_id, dtot_dev, mtot_dev = (
+            _verify_bucket(vbud)
+        )
+        totals = np.asarray(totals_dev)
+        dtot, mtot, ovf = -1, int(np.asarray(mtot_dev)), -1
 
     if totals[0] > _CAP or totals[1] > fin_slots or totals[2] > vbuf:
         if host_thread is not None:
@@ -981,26 +1356,42 @@ def count_matches_fused(
         # speculation too small (rare: rate far above the estimate) — run
         # the verify again at the actual pow2-rounded survivor count
         vbud = min(_pow2(max(int(totals[2]), 1 << 12)), vbuf)
-        counts32, counts16, deep_pos, deep_id, dtot, mtot = _verify(vbud)
-    if int(np.asarray(mtot)) > max(vbud // 4, 1 << 10):
-        # multi-pattern-bucket side list overflowed (adversarial bucket
-        # density): redo with the flat single-phase program — exactness
-        # never rides the fast path's occupancy assumption
-        counts32, counts16, deep_pos, deep_id, dtot, _ = _verify(
-            vbud, two_phase=False
+        if hv is not None:
+            c32_dev, packed_dev, deep64_dev = _verify_hash(vbud)
+            hdr, c16 = _parse_packed(np.asarray(packed_dev))
+            dtot, mtot, ovf = int(hdr[3]), int(hdr[4]), int(hdr[5])
+        else:
+            counts32, counts16, deep_pos, deep_id, dtot_dev, mtot_dev = (
+                _verify_bucket(vbud)
+            )
+            mtot = int(np.asarray(mtot_dev))
+    if mtot > max(vbud // 4, 1 << 10):
+        # side list overflowed (adversarial bucket/cluster density): redo
+        # with the flat single-phase bucket-walk program — exactness never
+        # rides the fast path's occupancy assumption
+        counts32, counts16, deep_pos, deep_id, dtot_dev, _ = (
+            _verify_bucket(vbud, two_phase=False)
         )
+        dtot, ovf = -1, -1
 
-    totals = np.concatenate([totals, np.asarray([dtot])])
+    if dtot < 0:  # bucket-walk path: separate fetches (rare)
+        dtot = int(np.asarray(dtot_dev))
     if host_thread is not None:
         host_thread.join()
 
-    if totals[3] > _DEEP_BUDGET:
+    if dtot > _DEEP_BUDGET:
         return None
-    c16 = np.asarray(counts16)
-    if c16[-1]:
-        counts = np.asarray(counts32).astype(np.int64)
+    if ovf == 0:
+        counts = c16.astype(np.int64)
+    elif ovf > 0:
+        counts = np.asarray(c32_dev).astype(np.int64)
     else:
-        counts = c16[:-1].astype(np.int64)
+        c16f = np.asarray(counts16)
+        if c16f[-1]:
+            counts = np.asarray(counts32).astype(np.int64)
+        else:
+            counts = c16f[:-1].astype(np.int64)
+    totals = np.concatenate([np.asarray(totals), np.asarray([dtot])])
 
     if short_on_host and any_short:
         if "counts" not in host_box:
@@ -1013,8 +1404,13 @@ def count_matches_fused(
 
     ndeep = int(totals[3])
     if ndeep:
-        dp = np.asarray(deep_pos[:ndeep])
-        di = np.asarray(deep_id[:ndeep])
+        if ovf >= 0:  # hash path: one interleaved prefix fetch
+            dpair = np.asarray(deep64_dev[: 2 * ndeep]).astype(np.int64)
+            dp = dpair[0::2]
+            di = dpair[1::2]
+        else:
+            dp = np.asarray(deep_pos[:ndeep])
+            di = np.asarray(deep_id[:ndeep])
         counts += _c._verify_deep_host(ct, full, vstart, dp, di)
     return counts
 
@@ -1078,6 +1474,159 @@ def _make_post_verify_emit(K, bucket_max, vbud, P, interp):
     return jax.jit(fn)
 
 
+def _make_post_verify_emit_hash(K, bucket_max, lgH, vbud, P, interpret):
+    """Hash-probe variant of the emission post: same phase-1 as the counts
+    hash verify, but confirmed l==4 hits compact into (position, id) pairs
+    and deep anchors into host-verify candidates.  Side list (probe
+    clusters > 2 / multi-deep buckets) pays the classic bucket walk; its
+    pair streams are spliced after phase 1's (the caller re-sorts into
+    reference order, so intra-stream order is irrelevant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .cascade import _DEEP_BUDGET, _compact
+
+    mbud = max(vbud // 4, 1 << 10)
+    H = 1 << lgH
+
+    def fn(posbuf, codebuf, pv4, totals3, cls_i8, vstart, n_valid, d,
+           hv):
+        ep = posbuf
+        cval = (ep >= jnp.maximum(vstart, 3)) & (ep < n_valid)
+        eg4 = codebuf
+        u = eg4.astype(jnp.uint32)
+        h0 = ((u * jnp.uint32(_HM)) >> jnp.uint32(32 - lgH)).astype(
+            jnp.int32
+        )
+        h1 = (h0 + 1) & (H - 1)
+        k0 = jnp.take(hv["key"], h0, mode="clip")
+        k1 = jnp.take(hv["key"], h1, mode="clip")
+        m0 = k0 == eg4
+        found = m0 | (k1 == eg4)
+        hm = jnp.where(m0, h0, h1)
+        meta = jnp.take(hv["meta"], hm, mode="clip")
+        is4 = cval & found & (((meta >> 24) & 1) > 0)
+        hasd = ((meta >> 25) & 1) > 0
+        multi = ((meta >> 26) & 1) > 0
+        d1 = jnp.take(hv["d1"], hm, mode="clip")
+        anchor = d1 & 0xFFFFFF
+        sel = d1 >> 24
+        # lengths 5..7 start inside pv4's window: compare its low digits
+        modm = jnp.where(sel == 1, K, jnp.where(sel == 2, K * K, K**3))
+        pkv = jnp.where(sel <= 3, pv4 % modm, pv4)
+        okd = cval & found & hasd & ~multi & (pkv == anchor)
+
+        def compact_pairs(flag, ids_full, bud):
+            buf, tot = _compact(flag.astype(jnp.int32), bud)
+            valid = buf >= 0
+            bi = jnp.maximum(buf, 0)
+            p = jnp.where(valid, jnp.take(ep, bi, mode="clip"), -1)
+            i = jnp.where(valid, jnp.take(ids_full, bi, mode="clip"), -1)
+            return p, i, tot
+
+        l4_ids = meta & 0xFFFFFF
+        pos4, id4, e4tot1 = compact_pairs(is4, l4_ids, vbud)
+        deep_ids1 = jnp.take(hv["d2"], hm, mode="clip")
+        dp1, di1, dtot1 = compact_pairs(okd, deep_ids1, _DEEP_BUDGET)
+
+        # ---- side list
+        unresolved = cval & ~found & (k0 != -1) & (k1 != -1)
+        sidefl = (unresolved | (cval & found & multi & hasd)).astype(
+            jnp.int32
+        )
+        mbuf, mtot = _compact(sidefl, mbud)
+        mvalid = mbuf >= 0
+        mi = jnp.maximum(mbuf, 0)
+        mep = jnp.take(ep, mi, mode="clip")
+        meg4 = jnp.take(eg4, mi, mode="clip")
+        allow4 = jnp.take(unresolved.astype(jnp.int32), mi, mode="clip") > 0
+        w = jnp.take(d["s4_words"], meg4 >> 5, mode="clip")
+        hit = mvalid & (((w >> (meg4 & 31)) & 1) > 0)
+        rank = jnp.take(
+            d["s4_rank"], meg4 >> 5, mode="clip"
+        ) + jax.lax.population_count(
+            w & ((jnp.int32(1) << (meg4 & 31)) - 1)
+        )
+        off = jnp.take(d["bucket_off"], rank, mode="clip")
+        end = jnp.take(d["bucket_off"], rank + 1, mode="clip")
+
+        def g4_of(pos):
+            def cc(q):
+                return jnp.take(
+                    cls_i8, jnp.clip(q, 0, n_valid - 1), mode="clip"
+                ).astype(jnp.int32)
+
+            return (
+                ((cc(pos - 3) * K + cc(pos - 2)) * K + cc(pos - 1)) * K
+                + cc(pos)
+            )
+
+        mb = max(bucket_max, 1)
+        me4_flag = jnp.zeros((mbud, mb), jnp.int32)
+        mdeep_flag = jnp.zeros((mbud, mb), jnp.int32)
+        mids = jnp.zeros((mbud, mb), jnp.int32)
+        for t in range(bucket_max):
+            ci = off + t
+            live = hit & (ci < end)
+            clv = jnp.take(d["cand_len"], ci, mode="clip")
+            cs4 = jnp.take(d["cand_start4"], ci, mode="clip")
+            cid = jnp.take(d["cand_id"], ci, mode="clip")
+            sp = mep - clv + 4
+            inb = live & (sp >= 3)
+            okstart = inb & (g4_of(jnp.maximum(sp, 0)) == cs4)
+            me4_flag = me4_flag.at[:, t].set(
+                (okstart & (clv == 4) & allow4).astype(jnp.int32)
+            )
+            mdeep_flag = mdeep_flag.at[:, t].set(
+                (okstart & (clv >= 5)).astype(jnp.int32)
+            )
+            mids = mids.at[:, t].set(cid)
+
+        def expand_side(flag2d, bud):
+            buf, tot = _compact(flag2d.reshape(-1), bud)
+            valid = buf >= 0
+            bi = jnp.maximum(buf, 0)
+            p = jnp.where(
+                valid, jnp.take(mep, bi // mb, mode="clip"), -1
+            )
+            i = jnp.where(
+                valid, jnp.take(mids.reshape(-1), bi, mode="clip"), -1
+            )
+            return p, i, tot
+
+        pos4s, id4s, e4tot2 = expand_side(me4_flag, vbud)
+        dp2, di2, dtot2 = expand_side(mdeep_flag, _DEEP_BUDGET)
+
+        def splice(p1, i1, t1, p2, i2, t2, bud):
+            p = jnp.concatenate([p1, p2])
+            i = jnp.concatenate([i1, i2])
+            tot = t1 + t2
+            idx = jnp.arange(p.shape[0], dtype=jnp.int32)
+            take_from = jnp.where(idx < t1, idx, idx - t1 + bud)
+            p = jnp.take(p, take_from, mode="clip")
+            i = jnp.take(i, take_from, mode="clip")
+            p = jnp.where(idx < tot, p, -1)[:bud]
+            i = jnp.where(idx < tot, i, -1)[:bud]
+            return p, i, tot
+
+        pos4, id4, e4tot = splice(
+            pos4, id4, e4tot1, pos4s, id4s, e4tot2, vbud
+        )
+        deep_pos, deep_id, dtot = splice(
+            dp1, di1, dtot1, dp2, di2, dtot2, _DEEP_BUDGET
+        )
+        # one int32 header fetch + interleaved pair prefix fetches (the
+        # relay costs ~25-50 ms per round trip)
+        hdr = jnp.stack(
+            [totals3[0], totals3[1], totals3[2], e4tot, dtot, mtot]
+        )
+        e4_pairs = jnp.stack([pos4, id4], axis=1).reshape(-1)
+        deep_pairs = jnp.stack([deep_pos, deep_id], axis=1).reshape(-1)
+        return hdr, e4_pairs, deep_pairs
+
+    return jax.jit(fn)
+
+
 def emit_candidates_fused(
     compiled: CompiledAutomaton,
     cls: np.ndarray,
@@ -1112,18 +1661,32 @@ def emit_candidates_fused(
         return empty, empty, empty, empty
 
     dev = ct.device_arrays()
-    (posbuf, codebuf, totals_dev, cls_dev, K, Npad, fin_slots, vbuf,
-     interp) = _flags_run(compiled, ct, ft, full, N, staged)
+    (posbuf, codebuf, pvbufs, totals_dev, cls_dev, K, Npad, fin_slots,
+     vbuf, interp) = _flags_run(compiled, ct, ft, full, N, staged)
     from .cascade import _DEEP_BUDGET
 
     rate_meas = compiled._cache.get("fused_rate")
     if rate_meas is not None:
         est = rate_meas * 1.05
     else:
-        est = (ft.fin_est + _true_rate(ct, K)) * 4
+        est = (ft.fin_est + _true_rate(ft, ct, K)) * 4
     vbud = min(max(_pow2(int(est * Npad)), 1 << 13), vbuf)
 
-    def _verify(vb):
+    hv = build_hash_verify(compiled, ct)
+
+    hv_dev = hv.device_arrays() if hv is not None else None
+
+    def _verify_hash(vb):
+        vkey = ("emit-hash", K, max(ct.bucket_max, 1), hv.lgH, vb,
+                ct.num_patterns, interp)
+        if vkey not in _POST_CACHE:
+            _POST_CACHE[vkey] = _make_post_verify_emit_hash(*vkey[1:])
+        return _POST_CACHE[vkey](
+            posbuf[:vb], codebuf[:vb], pvbufs[0][:vb], totals_dev,
+            cls_dev, np.int32(vstart), np.int32(N), dev, hv_dev,
+        )
+
+    def _verify_bucket(vb):
         vkey = ("emit", K, max(ct.bucket_max, 1), vb, ct.num_patterns,
                 interp)
         if vkey not in _POST_CACHE:
@@ -1133,8 +1696,16 @@ def emit_candidates_fused(
             np.int32(N), dev
         )
 
-    out = _verify(vbud)
-    totals = np.asarray(totals_dev)
+    use_hash = hv is not None
+    if use_hash:
+        hdr_dev, e4_pairs, deep_pairs = _verify_hash(vbud)
+        hdr = np.asarray(hdr_dev)  # ONE round trip incl. flags totals
+        totals = hdr[:3]
+        e4tot, dtot, mtot = int(hdr[3]), int(hdr[4]), int(hdr[5])
+    else:
+        out = _verify_bucket(vbud)
+        totals = np.asarray(totals_dev)
+        e4tot = dtot = mtot = -1
     if totals[0] > _CAP or totals[1] > fin_slots or totals[2] > vbuf:
         return None
     if totals[2] > 0:
@@ -1143,7 +1714,35 @@ def emit_candidates_fused(
         )
     if totals[2] > vbud:
         vbud = min(_pow2(max(int(totals[2]), 1 << 12)), vbuf)
-        out = _verify(vbud)
+        if use_hash:
+            hdr_dev, e4_pairs, deep_pairs = _verify_hash(vbud)
+            hdr = np.asarray(hdr_dev)
+            e4tot, dtot, mtot = int(hdr[3]), int(hdr[4]), int(hdr[5])
+        else:
+            out = _verify_bucket(vbud)
+    if use_hash and mtot > max(vbud // 4, 1 << 10):
+        # hash side list overflowed: flat bucket-walk program instead
+        use_hash = False
+        out = _verify_bucket(vbud)
+    if use_hash:
+        if e4tot > vbud or dtot > _DEEP_BUDGET:
+            return None
+        if e4tot:
+            pair = np.asarray(
+                e4_pairs[: 2 * _pow2(max(e4tot, 1))]
+            )[: 2 * e4tot].astype(np.int64)
+            p4, i4 = pair[0::2], pair[1::2]
+        else:
+            p4 = i4 = empty
+        if dtot:
+            pair = np.asarray(
+                deep_pairs[: 2 * _pow2(max(dtot, 1))]
+            )[: 2 * dtot].astype(np.int64)
+            dp, di = pair[0::2], pair[1::2]
+        else:
+            dp = di = empty
+        return p4, i4, dp, di
+
     pos4b, id4b, e4tot_dev, deep_pos, deep_id, dtot_dev = out
     e4tot = int(np.asarray(e4tot_dev))
     dtot = int(np.asarray(dtot_dev))

@@ -169,7 +169,8 @@ def test_two_phase_verify_matches_flat():
     ct = cascade.build_tables(compiled)
     ft = fused.build_fused_tables(compiled)
     assert ct is not None and ft is not None
-    (posbuf, codebuf, totals_dev, cls_dev, K, Npad, fs, vbuf, interp) = (
+    (posbuf, codebuf, pvbufs, totals_dev, cls_dev, K, Npad, fs, vbuf,
+     interp) = (
         fused._flags_run(compiled, ct, ft, cls, cls.size, None)
     )
     vbud = min(fused._pow2(max(int(np.asarray(totals_dev)[2]), 1 << 10)),
@@ -190,3 +191,50 @@ def test_two_phase_verify_matches_flat():
         )
         out[tp] = (np.asarray(counts).tolist(), nd, pairs)
     assert out[True] == out[False]
+
+
+def test_hash_verify_multi_deep_buckets():
+    """Buckets holding several l>=5 patterns with the SAME last-4-gram must
+    route through the hash verify's side path (multi bit) and still count
+    exactly — including coexisting length-4 patterns of that gram."""
+    words = [
+        "abcd",          # l4 entry of the 'abcd' bucket
+        "xabcd", "yabcd", "zzabcd", "wwwabcd",   # 4 deep, same last4
+        "qrstu", "pqrstu",                        # 2 deep, same last4
+        "mmmm", "nmmmm",
+    ]
+    compiled = _build(words)
+    hv = fused.build_hash_verify(
+        compiled, cascade.build_tables(compiled)
+    )
+    assert hv is not None
+    rng = random.Random(11)
+    base = "".join(rng.choice("abcdqrstuxyzw_") for _ in range(4000))
+    hay = base[:500] + "zzabcd" + base[500:900] + "pqrstu" + \
+        base[900:1500] + "nmmmmabcd" + base[1500:]
+    cls, _, got = _fused_counts(compiled, hay)
+    assert got is not None, "fused engine unexpectedly gated"
+    want = _oracle(compiled, cls)
+    assert np.array_equal(got, want)
+
+
+def test_hash_verify_matches_bucket_verify_counts():
+    """End-to-end counts with the hash verify must equal the counts from
+    the flat bucket-walk verify on the same candidate stream."""
+    rng = random.Random(5)
+    alpha = "abcdefghijklmnop"
+    words = sorted(
+        {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(4, 12)))
+            for _ in range(300)
+        }
+    )
+    compiled = _build(words)
+    hay = "".join(rng.choice(alpha) for _ in range(30000))
+    cls = compiled.classes_of(
+        np.frombuffer(hay.encode("utf-32-le"), np.uint32)
+    ).astype(np.int32)
+    got = fused.count_matches_fused(compiled, cls, short_on_host=False)
+    assert got is not None
+    want = _oracle(compiled, cls)
+    assert np.array_equal(got, want)

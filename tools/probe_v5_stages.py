@@ -58,14 +58,15 @@ def main():
     cls_dev = jnp.asarray(pad)
     np.asarray(cls_dev[:1])
     ftd = ft.device_arrays()
-    r1, r4, r2s = ft.r1, ft.r4, ft.r2s
+    r1, r4, r2p = ft.r1, ft.r4, ft.r2p
     _M1, _M2, _M3 = F._M1, F._M2, F._M3
     n = TILE + OV
     K2 = K * K
 
     def make_call(stages):
-        def kernel(b1T_ref, w4T_ref, s2_ref, cls_ref, prev_ref, out_ref):
-            out_w = 4 * FIN
+        def kernel(b1T_ref, w4T_ref, s2p_ref, s2w_ref, cls_ref, prev_ref,
+                   out_ref):
+            out_w = F._OUT_COLS * FIN
             ovc = jax.lax.slice(prev_ref[0], (0, TILE - OV), (1, TILE))
             c = jnp.concatenate([ovc, cls_ref[0]], axis=1).astype(jnp.int32)
             g2 = pltpu.roll(c, 1, axis=1) * K + c
@@ -173,13 +174,12 @@ def main():
 
             u2 = cand_code.astype(jnp.uint32)
             upv = cand_prev.astype(jnp.uint32)
+            u5 = (u2 * jnp.uint32(F._C5) + upv).astype(jnp.uint32)
             d2 = (
-                bloom_col(s2_ref[0], u2, _M2)
-                & bloom_col(s2_ref[1], u2, _M3)
-                & bloom_col(s2_ref[2], upv, _M2)
-                & bloom_col(s2_ref[3], upv, _M3)
+                bloom_col(s2p_ref[0], u5, _M2)
+                & bloom_col(s2p_ref[1], u5, _M3)
             )
-            w2b = bloom_col(s2_ref[4], u2, _M3)
+            w2b = bloom_col(s2w_ref[0], u2, _M3)
             kd = cand_kind & 1
             kw = (cand_kind >> 1) & 1
             fin = cand_valid * ((kd & d2) | (kw & w2b))
@@ -197,14 +197,15 @@ def main():
             in_specs=[
                 pl.BlockSpec((384, r1), lambda t: (0, 0)),
                 pl.BlockSpec((128, r4), lambda t: (0, 0)),
-                pl.BlockSpec((5, r2s, 128), lambda t: (0, 0, 0)),
+                pl.BlockSpec((2, r2p, 128), lambda t: (0, 0, 0)),
+                pl.BlockSpec((1, 256, 128), lambda t: (0, 0, 0)),
                 pl.BlockSpec((1, 1, TILE), lambda t: (t, 0, 0)),
                 pl.BlockSpec(
                     (1, 1, TILE), lambda t: (jnp.maximum(t - 1, 0), 0, 0)
                 ),
             ],
-            out_specs=pl.BlockSpec((1, 1, 4 * FIN), lambda t: (t, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, 1, 4 * FIN), jnp.int32),
+            out_specs=pl.BlockSpec((1, 1, F._OUT_COLS * FIN), lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, 1, F._OUT_COLS * FIN), jnp.int32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)
             ),
@@ -214,17 +215,19 @@ def main():
         call = make_call(stages)
 
         @jax.jit
-        def fn(cd, b1, w4t, s2):
-            return call(b1, w4t, s2, cd.reshape(n_tiles, 1, TILE),
+        def fn(cd, b1, w4t, s2p, s2w):
+            return call(b1, w4t, s2p, s2w, cd.reshape(n_tiles, 1, TILE),
                         cd.reshape(n_tiles, 1, TILE))[:, 0, :].sum()
 
         t0 = time.time()
-        r = np.asarray(fn(cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2"]))
+        r = np.asarray(fn(cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2P"],
+                          ftd["S2W"]))
         log(f"{name:8s} compile+run {time.time()-t0:6.1f}s (chk={int(r)})")
         ts = []
         for _ in range(3):
             t0 = time.time()
-            np.asarray(fn(cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2"]))
+            np.asarray(fn(cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2P"],
+                          ftd["S2W"]))
             ts.append(time.time() - t0)
         log(f"{name:8s} best {min(ts)*1e3:8.1f} ms -> "
             f"{min(ts)/N_CHARS*1e9:5.2f} ns/char")
@@ -232,17 +235,18 @@ def main():
     # production jit1 for reference
     fin_slots = F._fin_slots_for(ft, ct, K)
     vbuf = F._vbuf_budget(n_tiles, ft, ct, K, fin_slots)
-    fkey = (K, r1, r4, r2s, n_tiles, vbuf, fin_slots, ft.has5, ft.has_w4,
+    fkey = (K, r1, r4, r2p, n_tiles, vbuf, fin_slots, ft.has5, ft.has_w4,
             False)
     fn1 = F._make_flags_fn(*fkey)
     t0 = time.time()
-    out = fn1(cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2"])
-    np.asarray(out[2])
+    out = fn1(cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2P"], ftd["S2W"])
+    np.asarray(out[3])
     log(f"jit1     compile+run {time.time()-t0:6.1f}s")
     ts = []
     for _ in range(3):
         t0 = time.time()
-        np.asarray(fn1(cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2"])[2])
+        np.asarray(fn1(cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2P"],
+                       ftd["S2W"])[3])
         ts.append(time.time() - t0)
     log(f"jit1     best {min(ts)*1e3:8.1f} ms -> "
         f"{min(ts)/N_CHARS*1e9:5.2f} ns/char")
