@@ -136,3 +136,33 @@ def test_emit_and_counts_agree_across_plans(compiled):
     assert np.array_equal(
         np.bincount(pids, minlength=compiled.num_patterns), counts
     )
+
+
+def test_prewarm_warms_planned_engines(rng):
+    """prewarm(n) must warm exactly the engines plan_chain selects at
+    size n and report them; a first query at the hinted size then builds
+    no new compiled program (VERDICT r4 item 8)."""
+    import string as _string
+
+    import pyahocorasick_tpu as ahocorasick
+    from pyahocorasick_tpu import engines
+    from pyahocorasick_tpu.ops import fused
+
+    A = ahocorasick.Automaton()
+    letters = np.frombuffer(_string.ascii_letters.encode(), np.uint8)
+    for n in rng.integers(3, 12, 300):
+        A.add_word(bytes(letters[rng.integers(0, letters.size, n)]).decode(), 1)
+    A.make_automaton()
+    n = 1 << 17  # above the device-dispatch floor
+    th = A.prewarm(n)
+    th.join(300)
+    assert not th.is_alive()
+    assert th.plan == engines.plan_chain(A._compiled, n, "counts")
+    assert th.warmed in th.plan
+    keys_before = set(fused._FLAGS_CACHE) | set(fused._POST_CACHE)
+    hay = bytes(letters[rng.integers(0, letters.size, n)]).decode()
+    A.count_matches(hay)
+    assert engines.last_engine["counts"] == th.warmed
+    if th.warmed == "fused":
+        keys_after = set(fused._FLAGS_CACHE) | set(fused._POST_CACHE)
+        assert keys_after == keys_before
