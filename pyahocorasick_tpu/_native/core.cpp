@@ -1173,4 +1173,119 @@ int64_t aho_emit_short_fill(const int32_t* cls, int64_t n, int32_t K,
     return k;
 }
 
+// Threaded short-emit (round-5): each position's l1/l2/l3 tests read only
+// cls[i-2..i], so chunks are independent and chunk-order concatenation IS
+// the global order.  Count and fill share one chunk geometry; per-chunk
+// fill caps at the counted size (a concurrently mutated cls buffer cannot
+// overflow or overlap), and rare under-fills are compacted by the caller
+// using the returned per-chunk written[] vector.
+static void emit_short_geometry(int64_t n, int64_t vstart, int64_t nchunks,
+                                int64_t* lo, int64_t* hi) {
+    int64_t start = vstart > 0 ? vstart : 0;
+    if (start > n) start = n;
+    int64_t span = n - start;
+    int64_t per = nchunks > 0 ? (span + nchunks - 1) / nchunks : 0;
+    for (int64_t c = 0; c < nchunks; ++c) {
+        lo[c] = start + c * per;
+        if (lo[c] > n) lo[c] = n;
+        hi[c] = lo[c] + per;
+        if (hi[c] > n) hi[c] = n;
+    }
+}
+
+int64_t aho_emit_short_count_mt(const int32_t* cls, int64_t n, int32_t K,
+                                int64_t vstart, const int32_t* lut1,
+                                const int32_t* lut2, const int32_t* lut3,
+                                int64_t* chunk_counts, int64_t nchunks) {
+    std::vector<int64_t> lo(nchunks), hi(nchunks);
+    emit_short_geometry(n, vstart, nchunks, lo.data(), hi.data());
+    const int64_t K2 = (int64_t)K * K;
+    auto work = [&](int64_t c) {
+        int64_t cnt = 0;
+        for (int64_t i = lo[c]; i < hi[c]; ++i) {
+            const int32_t c0 = cls[i];
+            if (lut3 && i >= 2 &&
+                lut3[(int64_t)cls[i - 2] * K2 + (int64_t)cls[i - 1] * K +
+                     c0] >= 0)
+                ++cnt;
+            if (lut2 && i >= 1 && lut2[(int64_t)cls[i - 1] * K + c0] >= 0)
+                ++cnt;
+            if (lut1 && lut1[c0] >= 0) ++cnt;
+        }
+        chunk_counts[c] = cnt;
+    };
+    if (nchunks <= 1) {
+        if (nchunks == 1) work(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int64_t c = 0; c < nchunks; ++c)
+            ts.emplace_back(work, c);
+        for (auto& t : ts) t.join();
+    }
+    int64_t total = 0;
+    for (int64_t c = 0; c < nchunks; ++c) total += chunk_counts[c];
+    return total;
+}
+
+int64_t aho_emit_short_fill_mt(const int32_t* cls, int64_t n, int32_t K,
+                               int64_t vstart, const int32_t* lut1,
+                               const int32_t* lut2, const int32_t* lut3,
+                               const int64_t* chunk_counts, int64_t nchunks,
+                               int64_t* out_pos, int32_t* out_id,
+                               int64_t* written) {
+    std::vector<int64_t> lo(nchunks), hi(nchunks), off(nchunks);
+    emit_short_geometry(n, vstart, nchunks, lo.data(), hi.data());
+    int64_t acc = 0;
+    for (int64_t c = 0; c < nchunks; ++c) {
+        off[c] = acc;
+        acc += chunk_counts[c];
+    }
+    const int64_t K2 = (int64_t)K * K;
+    auto work = [&](int64_t c) {
+        int64_t k = 0;
+        const int64_t cap = chunk_counts[c];
+        int64_t* op = out_pos + off[c];
+        int32_t* oi = out_id + off[c];
+        for (int64_t i = lo[c]; i < hi[c] && k < cap; ++i) {
+            const int32_t c0 = cls[i];
+            if (lut3 && i >= 2 && k < cap) {
+                int32_t id = lut3[(int64_t)cls[i - 2] * K2 +
+                                  (int64_t)cls[i - 1] * K + c0];
+                if (id >= 0) { op[k] = i; oi[k] = id; ++k; }
+            }
+            if (lut2 && i >= 1 && k < cap) {
+                int32_t id = lut2[(int64_t)cls[i - 1] * K + c0];
+                if (id >= 0) { op[k] = i; oi[k] = id; ++k; }
+            }
+            if (lut1 && k < cap) {
+                int32_t id = lut1[c0];
+                if (id >= 0) { op[k] = i; oi[k] = id; ++k; }
+            }
+        }
+        written[c] = k;
+    };
+    if (nchunks <= 1) {
+        if (nchunks == 1) work(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int64_t c = 0; c < nchunks; ++c)
+            ts.emplace_back(work, c);
+        for (auto& t : ts) t.join();
+    }
+    // compact interior gaps (only possible if cls was mutated between the
+    // count and fill passes): move each chunk's entries up against the
+    // previous chunk's tail, sequentially
+    int64_t w = written[0];
+    for (int64_t c = 1; c < nchunks; ++c) {
+        if (off[c] != w && written[c]) {
+            std::memmove(out_pos + w, out_pos + off[c],
+                         written[c] * sizeof(int64_t));
+            std::memmove(out_id + w, out_id + off[c],
+                         written[c] * sizeof(int32_t));
+        }
+        w += written[c];
+    }
+    return w;
+}
+
 }  // extern "C"

@@ -849,9 +849,19 @@ PyObject* m_emit_short(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     const int32_t* l1 = b.len(1) ? (const int32_t*)b.buf(1) : NULL;
     const int32_t* l2 = b.len(2) ? (const int32_t*)b.buf(2) : NULL;
     const int32_t* l3 = b.len(3) ? (const int32_t*)b.buf(3) : NULL;
+    // threaded above ~4M chars: the count+fill passes were the emission
+    // critical path at 134M chars (725 ms single-threaded, round-5)
+    int64_t nchunks = 1;
+    if (n >= (int64_t)1 << 22) {
+        unsigned hc = std::thread::hardware_concurrency();
+        nchunks = hc > 8 ? 8 : (hc ? hc : 1);
+    }
+    std::vector<int64_t> chunk_counts((size_t)nchunks, 0);
+    std::vector<int64_t> chunk_written((size_t)nchunks, 0);
     int64_t cnt = 0;
     Py_BEGIN_ALLOW_THREADS
-    cnt = aho_emit_short_count(cls, n, (int32_t)K, vstart, l1, l2, l3);
+    cnt = aho_emit_short_count_mt(cls, n, (int32_t)K, vstart, l1, l2, l3,
+                                  chunk_counts.data(), nchunks);
     Py_END_ALLOW_THREADS
     PyObject* pos_bytes = PyByteArray_FromStringAndSize(NULL, cnt * 8);
     PyObject* id_bytes = PyByteArray_FromStringAndSize(NULL, cnt * 4);
@@ -862,12 +872,13 @@ PyObject* m_emit_short(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     }
     int64_t written = 0;
     Py_BEGIN_ALLOW_THREADS
-    // cnt caps the fill: the count and fill passes both run without the GIL,
-    // so a concurrently mutated cls buffer must not overflow the bytearrays.
-    written = aho_emit_short_fill(cls, n, (int32_t)K, vstart, l1, l2, l3,
-                                  (int64_t*)PyByteArray_AS_STRING(pos_bytes),
-                                  (int32_t*)PyByteArray_AS_STRING(id_bytes),
-                                  cnt);
+    // per-chunk counts cap the fill: the count and fill passes both run
+    // without the GIL, so a concurrently mutated cls buffer must not
+    // overflow the bytearrays.
+    written = aho_emit_short_fill_mt(
+        cls, n, (int32_t)K, vstart, l1, l2, l3, chunk_counts.data(),
+        nchunks, (int64_t*)PyByteArray_AS_STRING(pos_bytes),
+        (int32_t*)PyByteArray_AS_STRING(id_bytes), chunk_written.data());
     Py_END_ALLOW_THREADS
     if (written < cnt) {  // fewer matches than counted: shrink to fit
         if (PyByteArray_Resize(pos_bytes, written * 8) ||

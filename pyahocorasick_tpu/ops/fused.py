@@ -215,6 +215,11 @@ class FusedTables:
         mu = self.s1_est * (_TILE + _OVERLAP)
         if mu + 5.0 * (mu**0.5) > _CAP:
             return  # dictionary too dense for the fused caps: use cascade
+        # adaptive candidate slots: the (cap, n) select/pick machinery and
+        # (cap, rows) stage-2 scale with cap, so small dictionaries (tiny
+        # stage-1 rates) run with 64 slots instead of 256; a runtime
+        # overflow escalates via compiled._cache['fused_cap']
+        self.cap = max(64, min(_CAP, _pow2(int(mu + 5.0 * (mu**0.5) + 1))))
         self.ok = True
 
     def device_arrays(self):
@@ -625,7 +630,7 @@ def _use_interpret() -> bool:
 
 def _make_flags_fn(K: int, r1: int, r4: int, r2p: int, n_tiles: int,
                    vbuf: int, fin_slots: int, has5: bool, has_w4: bool,
-                   interpret: bool):
+                   interpret: bool, cap: int = _CAP):
     """jit: int8 classes (padded to n_tiles*_TILE) ->
     (posbuf (vbuf,), codebuf (vbuf,), pvbufs (4, vbuf),
     totals[s1_max, fin_max, total])."""
@@ -634,7 +639,7 @@ def _make_flags_fn(K: int, r1: int, r4: int, r2p: int, n_tiles: int,
 
     T, OV, F = _TILE, _OVERLAP, fin_slots
     call = _flags_call(K, r1, r4, r2p, T, OV, n_tiles, has5, has_w4,
-                       interpret, _CAP, fin_slots)
+                       interpret, cap, fin_slots)
 
     def fn(cls_i8, b1T_tab, w4T_tab, s2p_tab, s2w_tab):
         cls3 = cls_i8.reshape(n_tiles, 1, T)
@@ -1188,10 +1193,12 @@ def _flags_run(compiled, ct, ft, full, N, staged):
         min(_pow2(n_tiles * fin_slots),
             compiled._cache.get("fused_vbuf", 0)),
     )
+    cap = max(getattr(ft, "cap", _CAP),
+              compiled._cache.get("fused_cap", 0))
 
     interp = _use_interpret()
     fkey = (K, ft.r1, ft.r4, ft.r2p, n_tiles, vbuf, fin_slots,
-            ft.has5, ft.has_w4, interp)
+            ft.has5, ft.has_w4, interp, cap)
     if fkey not in _FLAGS_CACHE:
         from ..utils.compile_cache import ensure_compile_cache
 
@@ -1210,7 +1217,7 @@ def _flags_run(compiled, ct, ft, full, N, staged):
         cls_dev, ftd["B1T"], ftd["W4T"], ftd["S2P"], ftd["S2W"]
     )
     return (posbuf, codebuf, pvbufs, totals_dev, cls_dev, K, Npad,
-            fin_slots, vbuf, interp)
+            fin_slots, vbuf, interp, cap)
 
 
 def count_matches_fused(
@@ -1261,7 +1268,7 @@ def count_matches_fused(
         host_thread.start()
 
     (posbuf, codebuf, pvbufs, totals_dev, cls_dev, K, Npad, fin_slots,
-     vbuf, interp) = _flags_run(compiled, ct, ft, full, N, staged)
+     vbuf, interp, cap) = _flags_run(compiled, ct, ft, full, N, staged)
     from .cascade import _DEEP_BUDGET
 
     # Verify sizing: the verify's cost scales with its budget (measured
@@ -1322,14 +1329,19 @@ def count_matches_fused(
         totals = np.asarray(totals_dev)
         dtot, mtot, ovf = -1, int(np.asarray(mtot_dev)), -1
 
-    if totals[0] > _CAP or totals[1] > fin_slots or totals[2] > vbuf:
+    if totals[0] > cap or totals[1] > fin_slots or totals[2] > vbuf:
         if host_thread is not None:
             host_thread.join()
-        # fin-slot / assembly-buffer overflow: escalate (once per level,
-        # remembered on the automaton) and re-run; stage-1 CAP overflow has
-        # no escalation — that automaton/input needs the cascade
+        # slot/buffer overflow: escalate (once per level, remembered on
+        # the automaton) and re-run; stage-1 overflow beyond the _CAP
+        # ceiling has no escalation — that automaton/input needs cascade
+        retry = False
+        if totals[0] > cap and cap < _CAP:
+            compiled._cache["fused_cap"] = min(
+                _pow2(int(totals[0]) * 2), _CAP
+            )
+            retry = True
         if totals[0] <= _CAP:
-            retry = False
             if totals[1] > fin_slots and fin_slots < _CAP:
                 compiled._cache["fused_fin"] = min(
                     _pow2(int(totals[1]) * 2), _CAP
@@ -1340,10 +1352,10 @@ def count_matches_fused(
                 if nv <= _pow2(n_tiles * _CAP):
                     compiled._cache["fused_vbuf"] = nv
                     retry = True
-            if retry:
-                return count_matches_fused(
-                    compiled, cls, halo, staged, short_on_host
-                )
+        if retry:
+            return count_matches_fused(
+                compiled, cls, halo, staged, short_on_host
+            )
         return None  # slot/budget overflow: caller falls back (exactness)
     if totals[2] > 0:
         # a zero-candidate run (e.g. the all-zeros prewarm input) must not
@@ -1662,7 +1674,7 @@ def emit_candidates_fused(
 
     dev = ct.device_arrays()
     (posbuf, codebuf, pvbufs, totals_dev, cls_dev, K, Npad, fin_slots,
-     vbuf, interp) = _flags_run(compiled, ct, ft, full, N, staged)
+     vbuf, interp, cap) = _flags_run(compiled, ct, ft, full, N, staged)
     from .cascade import _DEEP_BUDGET
 
     rate_meas = compiled._cache.get("fused_rate")
@@ -1706,7 +1718,13 @@ def emit_candidates_fused(
         out = _verify_bucket(vbud)
         totals = np.asarray(totals_dev)
         e4tot = dtot = mtot = -1
-    if totals[0] > _CAP or totals[1] > fin_slots or totals[2] > vbuf:
+    if totals[0] > cap or totals[1] > fin_slots or totals[2] > vbuf:
+        if totals[0] > cap and cap < _CAP:
+            # remember the stage-1 slot need; the next call (e.g. the
+            # caller's fallback retry) compiles with more slots
+            compiled._cache["fused_cap"] = min(
+                _pow2(int(totals[0]) * 2), _CAP
+            )
         return None
     if totals[2] > 0:
         compiled._cache["fused_rate"] = max(

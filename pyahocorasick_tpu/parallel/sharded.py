@@ -336,6 +336,14 @@ class ShardedAutomaton:
         # Multi-host: gather the per-device match buffers so every process
         # reassembles the identical global stream (reference emission order,
         # src/AutomatonSearchIter.c:157-300, reproduced across hosts).
+        # Introspection for the scaling harness: the gathered volume is the
+        # PADDED buffers (pos + state, int32 each), not the match count —
+        # this is the quantity real-hardware projections must charge.
+        self.last_search_stats = {
+            "cap_per_device": CAP,
+            "max_matches_per_device": need,
+            "gathered_bytes": int(2 * 4 * kp * kd * CAP + 4 * kp * kd),
+        }
         pos_buf = self._fetch_global(pos_buf)
         state_buf = self._fetch_global(state_buf)
 

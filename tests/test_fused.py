@@ -170,7 +170,7 @@ def test_two_phase_verify_matches_flat():
     ft = fused.build_fused_tables(compiled)
     assert ct is not None and ft is not None
     (posbuf, codebuf, pvbufs, totals_dev, cls_dev, K, Npad, fs, vbuf,
-     interp) = (
+     interp, cap) = (
         fused._flags_run(compiled, ct, ft, cls, cls.size, None)
     )
     vbud = min(fused._pow2(max(int(np.asarray(totals_dev)[2]), 1 << 10)),
