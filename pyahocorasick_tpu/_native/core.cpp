@@ -1193,6 +1193,17 @@ static void emit_short_geometry(int64_t n, int64_t vstart, int64_t nchunks,
     }
 }
 
+// L1-resident hit bitmaps over the LUT domains: the l3 LUT is K^3 * 4 B
+// (~600 KB at K=53) and the scan is load-latency-bound on this box; the
+// bitmap is K^3 / 8 bytes (~19 KB) so the common no-match test stays in
+// L1 and the LUT is only touched on (rare) hits.
+static void emit_short_bitmap(const int32_t* lut, int64_t size,
+                              uint64_t* bm) {
+    std::memset(bm, 0, (size_t)((size + 63) / 64) * 8);
+    for (int64_t i = 0; i < size; ++i)
+        if (lut[i] >= 0) bm[i >> 6] |= (uint64_t)1 << (i & 63);
+}
+
 int64_t aho_emit_short_count_mt(const int32_t* cls, int64_t n, int32_t K,
                                 int64_t vstart, const int32_t* lut1,
                                 const int32_t* lut2, const int32_t* lut3,
@@ -1200,16 +1211,25 @@ int64_t aho_emit_short_count_mt(const int32_t* cls, int64_t n, int32_t K,
     std::vector<int64_t> lo(nchunks), hi(nchunks);
     emit_short_geometry(n, vstart, nchunks, lo.data(), hi.data());
     const int64_t K2 = (int64_t)K * K;
+    std::vector<uint64_t> bm3(lut3 ? (size_t)((K2 * K + 63) / 64) : 0);
+    std::vector<uint64_t> bm2(lut2 ? (size_t)((K2 + 63) / 64) : 0);
+    if (lut3) emit_short_bitmap(lut3, K2 * K, bm3.data());
+    if (lut2) emit_short_bitmap(lut2, K2, bm2.data());
+    const uint64_t* b3 = lut3 ? bm3.data() : NULL;
+    const uint64_t* b2 = lut2 ? bm2.data() : NULL;
     auto work = [&](int64_t c) {
         int64_t cnt = 0;
         for (int64_t i = lo[c]; i < hi[c]; ++i) {
             const int32_t c0 = cls[i];
-            if (lut3 && i >= 2 &&
-                lut3[(int64_t)cls[i - 2] * K2 + (int64_t)cls[i - 1] * K +
-                     c0] >= 0)
-                ++cnt;
-            if (lut2 && i >= 1 && lut2[(int64_t)cls[i - 1] * K + c0] >= 0)
-                ++cnt;
+            if (b3 && i >= 2) {
+                int64_t g3 =
+                    (int64_t)cls[i - 2] * K2 + (int64_t)cls[i - 1] * K + c0;
+                if ((b3[g3 >> 6] >> (g3 & 63)) & 1) ++cnt;
+            }
+            if (b2 && i >= 1) {
+                int64_t g2 = (int64_t)cls[i - 1] * K + c0;
+                if ((b2[g2 >> 6] >> (g2 & 63)) & 1) ++cnt;
+            }
             if (lut1 && lut1[c0] >= 0) ++cnt;
         }
         chunk_counts[c] = cnt;
@@ -1241,6 +1261,12 @@ int64_t aho_emit_short_fill_mt(const int32_t* cls, int64_t n, int32_t K,
         acc += chunk_counts[c];
     }
     const int64_t K2 = (int64_t)K * K;
+    std::vector<uint64_t> bm3(lut3 ? (size_t)((K2 * K + 63) / 64) : 0);
+    std::vector<uint64_t> bm2(lut2 ? (size_t)((K2 + 63) / 64) : 0);
+    if (lut3) emit_short_bitmap(lut3, K2 * K, bm3.data());
+    if (lut2) emit_short_bitmap(lut2, K2, bm2.data());
+    const uint64_t* b3 = lut3 ? bm3.data() : NULL;
+    const uint64_t* b2 = lut2 ? bm2.data() : NULL;
     auto work = [&](int64_t c) {
         int64_t k = 0;
         const int64_t cap = chunk_counts[c];
@@ -1248,14 +1274,22 @@ int64_t aho_emit_short_fill_mt(const int32_t* cls, int64_t n, int32_t K,
         int32_t* oi = out_id + off[c];
         for (int64_t i = lo[c]; i < hi[c] && k < cap; ++i) {
             const int32_t c0 = cls[i];
-            if (lut3 && i >= 2 && k < cap) {
-                int32_t id = lut3[(int64_t)cls[i - 2] * K2 +
-                                  (int64_t)cls[i - 1] * K + c0];
-                if (id >= 0) { op[k] = i; oi[k] = id; ++k; }
+            if (b3 && i >= 2 && k < cap) {
+                int64_t g3 =
+                    (int64_t)cls[i - 2] * K2 + (int64_t)cls[i - 1] * K + c0;
+                if ((b3[g3 >> 6] >> (g3 & 63)) & 1) {
+                    op[k] = i;
+                    oi[k] = lut3[g3];
+                    ++k;
+                }
             }
-            if (lut2 && i >= 1 && k < cap) {
-                int32_t id = lut2[(int64_t)cls[i - 1] * K + c0];
-                if (id >= 0) { op[k] = i; oi[k] = id; ++k; }
+            if (b2 && i >= 1 && k < cap) {
+                int64_t g2 = (int64_t)cls[i - 1] * K + c0;
+                if ((b2[g2 >> 6] >> (g2 & 63)) & 1) {
+                    op[k] = i;
+                    oi[k] = lut2[g2];
+                    ++k;
+                }
             }
             if (lut1 && k < cap) {
                 int32_t id = lut1[c0];
