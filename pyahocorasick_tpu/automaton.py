@@ -581,7 +581,7 @@ class Automaton:
         cls = compiled.classes_of(letters).astype(np.int32)
         return engines.count_total(compiled, cls)
 
-    def prewarm(self, n_chars_hint=1 << 27, mode="counts"):
+    def prewarm(self, n_chars_hint=1 << 27, mode="counts", engine=None):
         """Start compiling/loading the device scan programs in a background
         thread and return the (started) ``threading.Thread``.
 
@@ -617,22 +617,51 @@ class Automaton:
         if mode not in ("counts", "emit"):
             raise ValueError("mode must be 'counts' or 'emit'")
         compiled = self._ensure_compiled()
-        run = (
-            (lambda c: engines.count_matches(compiled, c))
-            if mode == "counts"
-            else (lambda c: engines.emit(compiled, c))
-        )
+        if engine is None:
+            run = (
+                (lambda c: engines.count_matches(compiled, c))
+                if mode == "counts"
+                else (lambda c: engines.emit(compiled, c))
+            )
+        else:
+            # warm one SPECIFIC device engine (the auto chain stops at the
+            # first engine that succeeds, so engines further down — e.g.
+            # the cascade fallback — never load their programs otherwise)
+            if mode == "counts":
+                def run(c, _e=engine):
+                    return engines._counts_device_engine(
+                        _e, compiled, c, None
+                    )
+            else:
+                raise ValueError(
+                    "engine= prewarm is only supported for mode='counts'"
+                )
 
         def _warm():
             try:
-                cls = np.zeros(int(n_chars_hint), np.int32)
+                # a pseudo-random class stream, NOT zeros: a constant
+                # stream gives every position the same n-gram codes, and
+                # if that one value passes a stage-1 bloom the candidate
+                # machinery floods (and would poison the escalation
+                # caches); random streams warm at realistic rates
+                cls = np.random.default_rng(0).integers(
+                    0, max(compiled.num_classes, 1), int(n_chars_hint)
+                ).astype(np.int32)
                 run(cls)
-                th.warmed = engines.last_engine.get(mode)
+                th.warmed = (
+                    engine
+                    if engine is not None
+                    else engines.last_engine.get(mode)
+                )
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
 
         th = threading.Thread(target=_warm, daemon=True)
-        th.plan = engines.plan_chain(compiled, int(n_chars_hint), mode)
+        th.plan = (
+            [engine]
+            if engine is not None
+            else engines.plan_chain(compiled, int(n_chars_hint), mode)
+        )
         th.warmed = None
         th.start()
         return th

@@ -1627,14 +1627,16 @@ def _make_post_verify_emit_hash(K, bucket_max, lgH, vbud, P, interpret):
         deep_pos, deep_id, dtot = splice(
             dp1, di1, dtot1, dp2, di2, dtot2, _DEEP_BUDGET
         )
-        # one int32 header fetch + interleaved pair prefix fetches (the
-        # relay costs ~25-50 ms per round trip)
+        # ONE fetched buffer [hdr(6) | e4 pairs interleaved]: the relay
+        # costs ~25-50 ms per round trip, so the caller speculatively
+        # fetches the header plus a rate-sized pair prefix in one go;
+        # deep pairs fetch on demand (usually empty)
         hdr = jnp.stack(
             [totals3[0], totals3[1], totals3[2], e4tot, dtot, mtot]
         )
         e4_pairs = jnp.stack([pos4, id4], axis=1).reshape(-1)
         deep_pairs = jnp.stack([deep_pos, deep_id], axis=1).reshape(-1)
-        return hdr, e4_pairs, deep_pairs
+        return jnp.concatenate([hdr, e4_pairs]), deep_pairs
 
     return jax.jit(fn)
 
@@ -1709,9 +1711,21 @@ def emit_candidates_fused(
         )
 
     use_hash = hv is not None
+
+    def _fetch_hash(hp_dev):
+        # speculative single fetch: header + measured-rate e4 prefix
+        e4rate = compiled._cache.get("fused_e4rate")
+        spec = (
+            _pow2(max(int(e4rate * Npad * 1.05), 1 << 10))
+            if e4rate is not None
+            else 1 << 12
+        )
+        buf = np.asarray(hp_dev[: 6 + 2 * min(spec, vbud)])
+        return buf[:6], buf[6:]
+
     if use_hash:
-        hdr_dev, e4_pairs, deep_pairs = _verify_hash(vbud)
-        hdr = np.asarray(hdr_dev)  # ONE round trip incl. flags totals
+        hp_dev, deep_pairs = _verify_hash(vbud)
+        hdr, e4_buf = _fetch_hash(hp_dev)  # ONE round trip
         totals = hdr[:3]
         e4tot, dtot, mtot = int(hdr[3]), int(hdr[4]), int(hdr[5])
     else:
@@ -1733,8 +1747,8 @@ def emit_candidates_fused(
     if totals[2] > vbud:
         vbud = min(_pow2(max(int(totals[2]), 1 << 12)), vbuf)
         if use_hash:
-            hdr_dev, e4_pairs, deep_pairs = _verify_hash(vbud)
-            hdr = np.asarray(hdr_dev)
+            hp_dev, deep_pairs = _verify_hash(vbud)
+            hdr, e4_buf = _fetch_hash(hp_dev)
             e4tot, dtot, mtot = int(hdr[3]), int(hdr[4]), int(hdr[5])
         else:
             out = _verify_bucket(vbud)
@@ -1745,10 +1759,16 @@ def emit_candidates_fused(
     if use_hash:
         if e4tot > vbud or dtot > _DEEP_BUDGET:
             return None
+        compiled._cache["fused_e4rate"] = max(
+            e4tot / max(Npad, 1), compiled._cache.get("fused_e4rate", 0.0)
+        )
         if e4tot:
-            pair = np.asarray(
-                e4_pairs[: 2 * _pow2(max(e4tot, 1))]
-            )[: 2 * e4tot].astype(np.int64)
+            if 2 * e4tot > e4_buf.size:
+                # speculation short: fetch the full pow2-rounded prefix
+                e4_buf = np.asarray(
+                    hp_dev[6: 6 + 2 * _pow2(max(e4tot, 1))]
+                )
+            pair = e4_buf[: 2 * e4tot].astype(np.int64)
             p4, i4 = pair[0::2], pair[1::2]
         else:
             p4 = i4 = empty
