@@ -648,6 +648,12 @@ class Automaton:
                     0, max(compiled.num_classes, 1), int(n_chars_hint)
                 ).astype(np.int32)
                 run(cls)
+                if int(n_chars_hint) >= (1 << 22):
+                    # second pass: the first call measured the survivor
+                    # rate, and the device engines size their speculative
+                    # verify programs from it — warm THOSE (the first
+                    # pass used the build-time estimate's bucket)
+                    run(cls)
                 th.warmed = (
                     engine
                     if engine is not None
