@@ -174,7 +174,9 @@ def bench_counts(compiled, cls, n_chars, reps, engine, best_ns=None,
     if engine == "fused":
         from pyahocorasick_tpu.ops import fused
 
-        Npad = fused._bucket_tiles(-(-n_chars // fused._TILE)) * fused._TILE
+        ftb = fused.build_fused_tables(compiled)
+        tile = getattr(ftb, "tile", fused._TILE) if ftb else fused._TILE
+        Npad = fused._bucket_tiles(-(-n_chars // tile)) * tile
         pad = np.zeros(Npad, np.int8)
         pad[:n_chars] = cls
         staged = _stage(pad)
@@ -305,7 +307,9 @@ def bench_small_emit(n_chars, reps, rng):
     A, compiled, letters = _build("small", 30, rng)
     th = A.prewarm(n_chars, mode="emit")
     cls = _haystack(compiled, letters, n_chars, rng)
-    Npad = fused._bucket_tiles(-(-n_chars // fused._TILE)) * fused._TILE
+    ftb = fused.build_fused_tables(compiled)
+    tile = getattr(ftb, "tile", fused._TILE) if ftb else fused._TILE
+    Npad = fused._bucket_tiles(-(-n_chars // tile)) * tile
     pad = np.zeros(Npad, np.int8)
     pad[:n_chars] = cls
     staged = _stage(pad)

@@ -324,7 +324,9 @@ def emit_matches_cascade(
             th.start()
             fstaged = staged
             if fstaged is not None:
-                exp = F._bucket_tiles(-(-N // F._TILE)) * F._TILE
+                ftf = F.build_fused_tables(compiled)
+                tile = getattr(ftf, "tile", F._TILE) if ftf else F._TILE
+                exp = F._bucket_tiles(-(-N // tile)) * tile
                 if int(fstaged.shape[0]) != exp:
                     fstaged = None  # caller staged an unpadded stream
             r = F.emit_candidates_fused(compiled, cls, halo, staged=fstaged)

@@ -220,6 +220,20 @@ class FusedTables:
         # stage-1 rates) run with 64 slots instead of 256; a runtime
         # overflow escalates via compiled._cache['fused_cap']
         self.cap = max(64, min(_CAP, _pow2(int(mu + 5.0 * (mu**0.5) + 1))))
+        self.tile = _TILE
+        # sparse dictionaries take a DOUBLE tile: the kernel's per-tile
+        # fixed costs (prefix chain, fin machinery, assembly) halve per
+        # char, measured 0.47 -> 0.61 GB/s small-dictionary emission.
+        # Only with cap = 64 — tile 8192 / cap 512 exceeded Mosaic limits
+        # in round 4 (cap 64 buffers are 8x smaller).
+        mu8 = self.s1_est * (8192 + _OVERLAP)
+        if (
+            _TILE == 4096
+            and not os.environ.get("PYAHOCORASICK_TPU_FUSED_TILE")
+            and mu8 + 5.0 * (mu8**0.5) <= 48
+        ):
+            self.tile = 8192
+            self.cap = 64
         self.ok = True
 
     def device_arrays(self):
@@ -630,14 +644,14 @@ def _use_interpret() -> bool:
 
 def _make_flags_fn(K: int, r1: int, r4: int, r2p: int, n_tiles: int,
                    vbuf: int, fin_slots: int, has5: bool, has_w4: bool,
-                   interpret: bool, cap: int = _CAP):
+                   interpret: bool, cap: int = _CAP, tile: int = _TILE):
     """jit: int8 classes (padded to n_tiles*_TILE) ->
     (posbuf (vbuf,), codebuf (vbuf,), pvbufs (4, vbuf),
     totals[s1_max, fin_max, total])."""
     import jax
     import jax.numpy as jnp
 
-    T, OV, F = _TILE, _OVERLAP, fin_slots
+    T, OV, F = tile, _OVERLAP, fin_slots
     call = _flags_call(K, r1, r4, r2p, T, OV, n_tiles, has5, has_w4,
                        interpret, cap, fin_slots)
 
@@ -1177,11 +1191,19 @@ def _flags_run(compiled, ct, ft, full, N, staged):
     vbuf, interp) — all device values still in flight."""
     import jax.numpy as jnp
 
+    cap = max(getattr(ft, "cap", _CAP),
+              compiled._cache.get("fused_cap", 0))
+    tile = getattr(ft, "tile", _TILE)
+    if tile != _TILE and (cap > 64 or _use_interpret()):
+        # runtime cap escalation drops to the default tile; interpret
+        # mode (CPU tests) keeps the small tile — the python-evaluated
+        # kernel costs scale with tile width
+        tile = _TILE
     # pad to a bucketed number of kernel tiles (class 0 tail cannot create
     # candidates that survive verification; bucketing bounds the set of
     # compiled flag programs at <= 25% padding waste)
-    n_tiles = _bucket_tiles(-(-N // _TILE))
-    Npad = n_tiles * _TILE
+    n_tiles = _bucket_tiles(-(-N // tile))
+    Npad = n_tiles * tile
     K = compiled.num_classes
     # per-tile slot / buffer sizing: estimates, escalated (and remembered
     # on the automaton) when an input's true-match density overflows them
@@ -1193,18 +1215,18 @@ def _flags_run(compiled, ct, ft, full, N, staged):
         min(_pow2(n_tiles * fin_slots),
             compiled._cache.get("fused_vbuf", 0)),
     )
-    cap = max(getattr(ft, "cap", _CAP),
-              compiled._cache.get("fused_cap", 0))
 
     interp = _use_interpret()
     fkey = (K, ft.r1, ft.r4, ft.r2p, n_tiles, vbuf, fin_slots,
-            ft.has5, ft.has_w4, interp, cap)
+            ft.has5, ft.has_w4, interp, cap, tile)
     if fkey not in _FLAGS_CACHE:
         from ..utils.compile_cache import ensure_compile_cache
 
         ensure_compile_cache()
         _FLAGS_CACHE[fkey] = _make_flags_fn(*fkey)
 
+    if staged is not None and int(staged.shape[0]) != Npad:
+        staged = None  # caller staged for a different tile geometry
     if staged is not None:
         cls_dev = staged
     else:
