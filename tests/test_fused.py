@@ -238,3 +238,58 @@ def test_hash_verify_matches_bucket_verify_counts():
     assert got is not None
     want = _oracle(compiled, cls)
     assert np.array_equal(got, want)
+
+
+def test_emit_speculative_refetch_branch():
+    """When the cached e4 rate under-sizes the speculative pair fetch, the
+    caller must refetch the full prefix and still return every pair."""
+    rng = random.Random(23)
+    alpha = "abcdefghij"
+    words = sorted(
+        {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(4, 8)))
+            for _ in range(120)
+        }
+    )
+    compiled = _build(words)
+    hay = "".join(rng.choice(alpha) for _ in range(40000))
+    cls = compiled.classes_of(
+        np.frombuffer(hay.encode("utf-32-le"), np.uint32)
+    ).astype(np.int32)
+    full = fused.emit_candidates_fused(compiled, cls)
+    assert full is not None
+    # poison the learned e4 rate so the speculative prefix is tiny
+    compiled._cache["fused_e4rate"] = 1e-9
+    again = fused.emit_candidates_fused(compiled, cls)
+    assert again is not None
+    for a, b in zip(full, again):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_flags_run_ignores_mismatched_staged():
+    """A staged stream padded for a different tile geometry must be
+    ignored (repadded internally), not crash or corrupt results."""
+    import jax.numpy as jnp
+
+    rng = random.Random(29)
+    alpha = "abcdefgh"
+    words = sorted(
+        {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(4, 7)))
+            for _ in range(60)
+        }
+    )
+    compiled = _build(words)
+    hay = "".join(rng.choice(alpha) for _ in range(9000))
+    cls = compiled.classes_of(
+        np.frombuffer(hay.encode("utf-32-le"), np.uint32)
+    ).astype(np.int32)
+    want = fused.count_matches_fused(compiled, cls, short_on_host=False)
+    assert want is not None
+    bad = np.zeros(12345, np.int8)  # wrong padded length
+    bad[: cls.size] = cls
+    got = fused.count_matches_fused(
+        compiled, cls, staged=jnp.asarray(bad), short_on_host=False
+    )
+    assert got is not None
+    np.testing.assert_array_equal(got, want)
