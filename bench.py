@@ -251,10 +251,8 @@ def bench_dna(n_patterns, n_chars, reps, rng):
     if ftab is None:
         log("[dna] fixedlen tables gated at build")
     if ftab is not None:
-        Npad = (
-            fixedlen._f._bucket_tiles(-(-n_chars // fixedlen._TILE))
-            * fixedlen._TILE
-        )
+        tile = getattr(ftab, "tile", fixedlen._TILE)
+        Npad = fixedlen._f._bucket_tiles(-(-n_chars // tile)) * tile
         pad = np.zeros(Npad, np.int8)
         pad[:n_chars] = cls
         staged = _stage(pad)
@@ -358,10 +356,8 @@ def bench_mixed(n_patterns, n_chars, reps, rng):
     if ftab is None:
         log("[mixed] fixedlen tables gated at build")
         return None
-    Npad = (
-        fixedlen._f._bucket_tiles(-(-n_chars // fixedlen._TILE))
-        * fixedlen._TILE
-    )
+    tile = getattr(ftab, "tile", fixedlen._TILE)
+    Npad = fixedlen._f._bucket_tiles(-(-n_chars // tile)) * tile
     pad = np.zeros(Npad, np.int8)
     pad[:n_chars] = cls
     staged = _stage(pad)
