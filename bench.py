@@ -524,18 +524,24 @@ def run_matrix(n_patterns, n_chars, reps):
     # below: auto counts (fused), the cascade fallback, and emission (the
     # cache-warm "cold start" is dominated by the ~2 MB/s relay load of
     # 10-35 MB compiled executables — probe_cold_split.py).
-    th = A.prewarm(n_chars)
-    th_c = A.prewarm(n_chars, engine="cascade")
-    th_e = A.prewarm(n_chars, mode="emit")
+    # SEQUENTIAL warms inside one thread: concurrent prewarms race on the
+    # measured-rate cache, so the set of rate-sized verify programs warmed
+    # varied run to run (measured: fused cold flapping 0.5 <-> 10.5 s)
+    import threading as _threading
+
+    def _warm_all():
+        A.prewarm(n_chars).join()
+        A.prewarm(n_chars, mode="emit").join()
+        A.prewarm(n_chars, engine="cascade").join()
+
+    th = _threading.Thread(target=_warm_all, daemon=True)
+    th.start()
     cls = _haystack(compiled, letters, n_chars, rng)
     t0 = time.time()
     # cap the blocking wait: the first device op after another process
     # releases the TPU can stall minutes (PLAN.md), and the engines warm
     # themselves on first call anyway
-    limit = min(DEVICE_DEADLINE_S / 2, 180)
-    th.join(limit)
-    th_c.join(max(limit - (time.time() - t0), 1))
-    th_e.join(max(limit - (time.time() - t0), 1))
+    th.join(min(DEVICE_DEADLINE_S / 2, 240))
     out["prewarm_wait_s"] = round(time.time() - t0, 2)
     log(f"[prewarm] blocking wait after haystack prep: {out['prewarm_wait_s']}s")
 
