@@ -30,8 +30,10 @@ import numpy as np
 REF_BYTES_PER_SEC = 1_000_000 / 0.279
 
 # the TPU tunnel can wedge indefinitely (see PLAN.md); give the device path a
-# deadline and fall back to the host C++ engine so a number is always recorded
-DEVICE_DEADLINE_S = int(os.environ.get("BENCH_DEVICE_DEADLINE", 900))
+# deadline and fall back to the host C++ engine so a number is always recorded.
+# 1100 s: the matrix itself takes ~600 s warm, and the first device op after
+# another process releases the TPU can stall up to ~5 min (tunnel handshake)
+DEVICE_DEADLINE_S = int(os.environ.get("BENCH_DEVICE_DEADLINE", 1100))
 
 
 class _DeviceTimeout(Exception):
