@@ -11,6 +11,8 @@ Engines (all bit-identical in output, covered by differential tests):
 * ``fixedlen``— fixed-length fingerprint kernel (ops/fixedlen.py; DNA k-mers)
 * ``hotcold`` — hot/cold projection-automaton engine (ops/hotcold.py)
 * ``stride``  — packed stride-2 total counts (ops/stride.py)
+* ``sparse``  — sparse-automaton scan+emit on the native core (no dense
+  lowering needed; lazy-lowered automata and small inputs)
 
 Selection is automatic by input size; ``PYAHOCORASICK_TPU_ENGINE`` forces one
 (the test suite uses this to run the whole conformance corpus on every
