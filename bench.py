@@ -550,6 +550,29 @@ def run_matrix(n_patterns, n_chars, reps):
     skip = set(
         s for s in os.environ.get("BENCH_SKIP", "").split(",") if s
     )
+
+    def _retry_if_degraded(key, run_fn, floor_gbps):
+        """The shared tunnel occasionally degrades ~25x for minutes at a
+        time (measured 2026-08-21: a 4096^3 matmul at 35 ms vs ~1 ms,
+        recovering by itself).  If a headline entry lands implausibly
+        below its floor, wait out the window once and re-measure,
+        keeping the better number and flagging the record."""
+        if out.get(key, floor_gbps) >= floor_gbps or left() < 120:
+            return
+        log(f"[{key}] {out[key]} GB/s is below the {floor_gbps} sanity "
+            f"floor: transient tunnel degradation suspected; retrying "
+            f"in 60 s")
+        time.sleep(60)
+        try:
+            r = run_fn()
+        except Exception as e:  # noqa: BLE001
+            log(f"[{key}] retry failed: {e!r}")
+            return
+        if r is not None and r[0] > out.get(key, 0.0):
+            out[key] = round(r[0], 4)
+            out[key.replace('_GBps', '_cold_s')] = round(r[1], 2)
+        out["degraded_window"] = True
+
     # 1. headline: exact counts at 100k patterns — fused, cascade, hotcold
     for engine in ("fused", "cascade", "hotcold"):
         if engine in skip or left() < 60:
@@ -572,6 +595,13 @@ def run_matrix(n_patterns, n_chars, reps):
             out[f"{key}_GBps"], out[f"{key}_cold_s"] = round(r[0], 4), round(
                 r[1], 2
             )
+
+    _retry_if_degraded(
+        "fused_GBps",
+        lambda: bench_counts(compiled, cls, n_chars, reps, "fused",
+                             left_s=left()),
+        0.1,
+    )
 
     # 1b. full (end, pattern_id) emission in reference order — the
     # reference's flagship semantic (src/AutomatonSearchIter.c:157-300)
