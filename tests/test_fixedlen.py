@@ -261,3 +261,32 @@ def test_fixedlen_pattern_substring_window_shift():
     got = _counts(compiled, hay)
     assert got is not None
     assert np.array_equal(got, _oracle(compiled, hay))
+
+
+def test_fixedlen_saturated_bloom_gates_to_exact_fallback():
+    """A dictionary containing EVERY possible window (stage-1 rate ~1.0)
+    must overflow the slot cap at every tile and gate the engine at build;
+    the dispatch chain still returns exact results."""
+    import itertools
+
+    import pyahocorasick_tpu as ahocorasick
+    from pyahocorasick_tpu.ops import fixedlen
+
+    A = ahocorasick.Automaton()
+    for tup in itertools.product("abcd", repeat=5):
+        A.add_word("".join(tup), 1)
+    A.make_automaton()
+    c = A._compiled
+    hay = "abcdabcdddccbbaa" * 600
+    cls = c.classes_of(
+        np.frombuffer(hay.encode("utf-32-le"), np.uint32)
+    ).astype(np.int32)
+    # build succeeds (bloom fp on random codes is tiny) but EVERY stream
+    # position is a true match: the per-tile slot cap overflows at
+    # runtime, escalation cannot help (these are true hits, not fp), and
+    # the engine must gate to None rather than drop candidates
+    got = fixedlen.count_matches_fixedlen(c, cls)
+    assert got is None
+    counts = A.count_matches(hay)
+    # every position >= 4 ends exactly one 5-mer window
+    assert int(counts.sum()) == len(hay) - 4
