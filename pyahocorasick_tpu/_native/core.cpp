@@ -1204,6 +1204,36 @@ static void emit_short_bitmap(const int32_t* lut, int64_t size,
         if (lut[i] >= 0) bm[i >> 6] |= (uint64_t)1 << (i & 63);
 }
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+// Vectorized l3-only fast path (the common shape: dictionaries with no
+// length-1/2 patterns): compute 16 g3 codes at once and test the hit
+// bitmap with a gather; positions with a set bit fall out to scalar
+// emission via the lane mask.  ~2-3x the scalar scan on this box.
+// Returns the 16-lane hit mask for chars [i, i+16).
+static inline uint16_t emit_short_l3_mask16(const int32_t* cls, int64_t i,
+                                            int64_t K, int64_t K2,
+                                            const uint64_t* bm) {
+    const __m512i c0 = _mm512_loadu_si512(cls + i);
+    const __m512i c1 = _mm512_loadu_si512(cls + i - 1);
+    const __m512i c2 = _mm512_loadu_si512(cls + i - 2);
+    const __m512i vK = _mm512_set1_epi32((int32_t)K);
+    const __m512i vK2 = _mm512_set1_epi32((int32_t)K2);
+    __m512i g3 = _mm512_add_epi32(
+        _mm512_add_epi32(_mm512_mullo_epi32(c2, vK2),
+                         _mm512_mullo_epi32(c1, vK)),
+        c0);
+    // bitmap test: word = bm32[g3 >> 5] (view the u64 bitmap as u32
+    // words — little-endian lane order matches), bit = g3 & 31
+    __m512i widx = _mm512_srli_epi32(g3, 5);
+    __m512i words = _mm512_i32gather_epi32(widx, (const int*)bm, 4);
+    __m512i bit = _mm512_and_si512(g3, _mm512_set1_epi32(31));
+    __m512i v = _mm512_and_si512(_mm512_srlv_epi32(words, bit),
+                                 _mm512_set1_epi32(1));
+    return (uint16_t)_mm512_cmpneq_epi32_mask(v, _mm512_setzero_si512());
+}
+#endif
+
 int64_t aho_emit_short_count_mt(const int32_t* cls, int64_t n, int32_t K,
                                 int64_t vstart, const int32_t* lut1,
                                 const int32_t* lut2, const int32_t* lut3,
@@ -1219,7 +1249,18 @@ int64_t aho_emit_short_count_mt(const int32_t* cls, int64_t n, int32_t K,
     const uint64_t* b2 = lut2 ? bm2.data() : NULL;
     auto work = [&](int64_t c) {
         int64_t cnt = 0;
-        for (int64_t i = lo[c]; i < hi[c]; ++i) {
+        int64_t i = lo[c];
+#if defined(__AVX512F__)
+        if (b3 && !b2 && !lut1) {  // l3-only: vector fast path
+            while (i < hi[c] && i < 2) {
+                ++i;  // lanes would read before the stream
+            }
+            for (; i + 16 <= hi[c]; i += 16)
+                cnt += __builtin_popcount(
+                    emit_short_l3_mask16(cls, i, K, K2, b3));
+        }
+#endif
+        for (; i < hi[c]; ++i) {
             const int32_t c0 = cls[i];
             if (b3 && i >= 2) {
                 int64_t g3 =
@@ -1272,7 +1313,26 @@ int64_t aho_emit_short_fill_mt(const int32_t* cls, int64_t n, int32_t K,
         const int64_t cap = chunk_counts[c];
         int64_t* op = out_pos + off[c];
         int32_t* oi = out_id + off[c];
-        for (int64_t i = lo[c]; i < hi[c] && k < cap; ++i) {
+        int64_t i = lo[c];
+#if defined(__AVX512F__)
+        if (b3 && !b2 && !lut1) {  // l3-only: vector detect, scalar emit
+            while (i < hi[c] && i < 2) ++i;
+            for (; i + 16 <= hi[c] && k + 16 <= cap; i += 16) {
+                uint16_t m = emit_short_l3_mask16(cls, i, K, K2, b3);
+                while (m) {
+                    const int j = __builtin_ctz(m);
+                    m = (uint16_t)(m & (m - 1));
+                    const int64_t p = i + j;
+                    const int64_t g3 = (int64_t)cls[p - 2] * K2 +
+                                       (int64_t)cls[p - 1] * K + cls[p];
+                    op[k] = p;
+                    oi[k] = lut3[g3];
+                    ++k;
+                }
+            }
+        }
+#endif
+        for (; i < hi[c] && k < cap; ++i) {
             const int32_t c0 = cls[i];
             if (b3 && i >= 2 && k < cap) {
                 int64_t g3 =
